@@ -1,0 +1,4 @@
+"""Feature detection, description, caching, and providers."""
+
+from .provider import Features, FeatureProvider, ArrayFeatureProvider  # noqa: F401
+from .cache import FeatureCache  # noqa: F401

@@ -1,0 +1,243 @@
+"""Fused device kernels for the sequential mapper.
+
+Each mapper step is ONE jitted program over fixed-capacity arrays, so a
+frame costs two device round-trips (two-view geometry / view registration)
+instead of the reference's dozens of sequential stages. All gates return
+scalars; the host applies the accept/reject logic (data-dependent control
+flow stays off-device, SURVEY §7).
+"""
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import essential, homography, p3p, matching, triangulation, projection
+from ..ops.ransac import ransac
+from ..ops.rotation import rvec_from_rotmat, rotmat_from_rvec
+from ..ba.core import _pose_refine_loop
+
+
+class TwoViewResult(NamedTuple):
+    matches: jnp.ndarray        # (F,) int32 into image2, -1 invalid
+    match_valid: jnp.ndarray    # (F,)
+    num_matches: jnp.ndarray
+    med_disparity: jnp.ndarray
+    num_hom_inliers: jnp.ndarray
+    E: jnp.ndarray              # (3, 3)
+    e_inlier: jnp.ndarray       # (F,) bool, aligned with image-1 rows
+    num_e_inliers: jnp.ndarray
+    rvec2: jnp.ndarray          # (3,) second pose (first = identity)
+    tvec2: jnp.ndarray
+    z_component: jnp.ndarray    # |z| of inverted second pose (forward-motion gate)
+    points3D: jnp.ndarray       # (F, 3) triangulated per match row
+    tri_angle: jnp.ndarray      # (F,) radians
+    mean_tri_angle: jnp.ndarray  # degrees, folded at 90
+    depth1: jnp.ndarray         # (F,)
+    depth2: jnp.ndarray
+
+
+@partial(jax.jit, static_argnames=("essential_trials", "hom_trials"))
+def two_view_init(
+    key,
+    kp1, desc1, mask1, n1,
+    kp2, desc2, mask2, n2,
+    ratio, max_distance,
+    norm_threshold,
+    essential_trials: int = 512,
+    hom_trials: int = 128,
+    max_depth: float = 100.0,
+):
+    """Fused: match + disparity + homography + 5pt-RANSAC + pose + triangulate.
+
+    Implements the device side of reference process_initial
+    (sequential_mapper.cc:46-386). kp/desc/mask are capacity-F padded;
+    n1/n2 are normalized coords of the same rows.
+    """
+    F = kp1.shape[0]
+    matches, valid = matching.match_brute_force(
+        desc1, desc2, mask1, mask2, kp1, kp2, ratio=ratio,
+        max_distance=max_distance,
+    )
+    num_matches = jnp.sum(valid)
+    med_disp = matching.median_feature_disparity(kp1, kp2, matches, valid)
+
+    # Matched coordinate arrays aligned to image-1 rows.
+    j = jnp.maximum(matches, 0)
+    x1 = n1
+    x2 = n2[j]
+
+    key_h, key_e = jax.random.split(key)
+    hom = ransac(
+        key_h, x1, x2, homography.solve_homography, homography.homography_residuals,
+        sample_size=4, num_trials=hom_trials, threshold=norm_threshold,
+        valid_mask=valid,
+    )
+    eres = ransac(
+        key_e, x1, x2, essential.solve_essential_5pt,
+        essential.abs_sampson_residuals,
+        sample_size=5, num_trials=essential_trials, threshold=norm_threshold,
+        valid_mask=valid,
+    )
+    R, t, _ = essential.pose_from_essential_matrix(
+        eres.model, x1, x2, eres.inlier_mask, max_depth=max_depth
+    )
+    rvec2 = rvec_from_rotmat(R)
+
+    proj1 = jnp.concatenate([jnp.eye(3, dtype=x1.dtype), jnp.zeros((3, 1), x1.dtype)], axis=1)
+    proj2 = jnp.concatenate([R, t[:, None]], axis=1)
+    z_comp = jnp.abs(projection.invert_proj_matrix(proj2)[2, 3])
+
+    X = triangulation.triangulate_points(proj1, proj2, x1, x2)
+    ang = triangulation.calc_tri_angles(proj1, proj2, X)
+    ang_folded = jnp.minimum(ang, jnp.pi - ang)
+    mean_angle = jnp.sum(jnp.where(eres.inlier_mask, ang_folded, 0.0)) / jnp.maximum(
+        eres.num_inliers, 1
+    )
+    d1 = projection.calc_depth(proj1, X)
+    d2 = projection.calc_depth(proj2, X)
+
+    return TwoViewResult(
+        matches=matches,
+        match_valid=valid,
+        num_matches=num_matches,
+        med_disparity=med_disp,
+        num_hom_inliers=hom.num_inliers,
+        E=eres.model,
+        e_inlier=eres.inlier_mask,
+        num_e_inliers=eres.num_inliers,
+        rvec2=rvec2,
+        tvec2=t,
+        z_component=z_comp,
+        points3D=X,
+        tri_angle=ang,
+        mean_tri_angle=mean_angle * (180.0 / jnp.pi),
+        depth1=d1,
+        depth2=d2,
+    )
+
+
+class RegisterResult(NamedTuple):
+    matches: jnp.ndarray         # (F,) prev-row -> curr-row
+    match_valid: jnp.ndarray
+    num_matches: jnp.ndarray
+    med_disparity: jnp.ndarray
+    num_hom_inliers: jnp.ndarray
+    num_stable: jnp.ndarray
+    p3p_inlier: jnp.ndarray      # (F,) over prev rows (stable subset)
+    num_p3p_inliers: jnp.ndarray
+    p3p_success: jnp.ndarray
+    rvec: jnp.ndarray            # refined pose of current image
+    tvec: jnp.ndarray
+    final_cost: jnp.ndarray      # RMS px over stable inliers
+    track_reproj: jnp.ndarray    # (F,) px error of existing 3D pts in new view
+    new_points3D: jnp.ndarray    # (F, 3) triangulations for new matches
+    new_reproj_prev: jnp.ndarray  # (F,) normalized reproj error in prev view
+    new_reproj_curr: jnp.ndarray
+    new_tri_angle: jnp.ndarray   # (F,) radians
+    new_depth_prev: jnp.ndarray
+    new_depth_curr: jnp.ndarray
+
+
+@partial(jax.jit, static_argnames=("p3p_trials", "hom_trials", "refine_iters"))
+def register_view(
+    key,
+    kp_prev, desc_prev, mask_prev, n_prev,
+    kp_curr, desc_curr, mask_curr, n_curr,
+    prev_p3d_xyz,      # (F, 3) 3-D point of prev row's track (garbage if none)
+    prev_has_tri,      # (F,) bool: row has triangulated 3-D point
+    prev_stable,       # (F,) bool: track_len >= min_track_len
+    prev_rvec, prev_tvec,
+    cam_params, cam_model,
+    ratio, max_distance,
+    norm_threshold,
+    p3p_trials: int = 512,
+    hom_trials: int = 128,
+    refine_iters: int = 30,
+):
+    """Fused: match + gates + P3P RANSAC + LM pose refinement + track
+    continuation checks + new-point triangulation.
+
+    Device side of reference `process` (sequential_mapper.cc:389-934).
+    """
+    F = kp_prev.shape[0]
+    matches, valid = matching.match_brute_force(
+        desc_prev, desc_curr, mask_prev, mask_curr, kp_prev, kp_curr,
+        ratio=ratio, max_distance=max_distance,
+    )
+    num_matches = jnp.sum(valid)
+    med_disp = matching.median_feature_disparity(kp_prev, kp_curr, matches, valid)
+
+    j = jnp.maximum(matches, 0)
+    x_prev = n_prev
+    x_curr = n_curr[j]
+    kp_curr_m = kp_curr[j]
+
+    key_h, key_p = jax.random.split(key)
+    hom = ransac(
+        key_h, x_prev, x_curr, homography.solve_homography,
+        homography.homography_residuals,
+        sample_size=4, num_trials=hom_trials, threshold=norm_threshold,
+        valid_mask=valid,
+    )
+
+    # 2D-3D: stable, matched rows.
+    stable = valid & prev_stable & prev_has_tri
+    num_stable = jnp.sum(stable)
+    pres = ransac(
+        key_p, x_curr, prev_p3d_xyz, p3p.solve_p3p, p3p.p3p_residuals,
+        sample_size=4, num_trials=p3p_trials, threshold=norm_threshold,
+        valid_mask=stable,
+    )
+    rvec0 = rvec_from_rotmat(pres.model[:3, :3])
+    tvec0 = pres.model[:3, 3]
+
+    # LM pose refinement in pixel space on the P3P inliers.
+    pose0 = jnp.concatenate([rvec0, tvec0])
+    pose, cost = _pose_refine_loop(
+        pose0, prev_p3d_xyz, kp_curr_m, pres.inlier_mask,
+        cam_params, cam_model, jnp.float32(1.0), refine_iters,
+    )
+    # RMS px over refined residuals, matching reference
+    # sqrt(summary.final_cost / num_residuals) (bundle_adjustment.cc:222).
+    final_cost = jnp.sqrt(cost / jnp.maximum(pres.num_inliers * 2, 1))
+
+    rvec, tvec = pose[:3], pose[3:]
+    proj_curr = projection.compose_proj_matrix(rvec, tvec)
+    proj_prev = projection.compose_proj_matrix(prev_rvec, prev_tvec)
+
+    # Track continuation: pixel reproj error of existing 3-D points in the
+    # new view (normalized error * mean focal ~ px; use normalized coords
+    # with the px threshold scaled upstream).
+    track_err = projection.calc_reproj_errors(x_curr, prev_p3d_xyz, proj_curr)
+
+    # New-point triangulation for all matches (host filters by has_tri).
+    Xnew = triangulation.triangulate_points(proj_prev, proj_curr, x_prev, x_curr)
+    err_prev = projection.calc_reproj_errors(x_prev, Xnew, proj_prev)
+    err_curr = projection.calc_reproj_errors(x_curr, Xnew, proj_curr)
+    ang = triangulation.calc_tri_angles(proj_prev, proj_curr, Xnew)
+    dp = projection.calc_depth(proj_prev, Xnew)
+    dc = projection.calc_depth(proj_curr, Xnew)
+
+    return RegisterResult(
+        matches=matches,
+        match_valid=valid,
+        num_matches=num_matches,
+        med_disparity=med_disp,
+        num_hom_inliers=hom.num_inliers,
+        num_stable=num_stable,
+        p3p_inlier=pres.inlier_mask,
+        num_p3p_inliers=pres.num_inliers,
+        p3p_success=pres.success,
+        rvec=rvec,
+        tvec=tvec,
+        final_cost=final_cost,
+        track_reproj=track_err,
+        new_points3D=Xnew,
+        new_reproj_prev=err_prev,
+        new_reproj_curr=err_curr,
+        new_tri_angle=ang,
+        new_depth_prev=dp,
+        new_depth_curr=dc,
+    )

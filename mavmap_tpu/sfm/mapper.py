@@ -1,0 +1,478 @@
+"""SequentialMapper — incremental SfM engine.
+
+TPU-native counterpart of reference src/sfm/sequential_mapper.{h,cc}. The
+class owns the MapStore (FeatureManager equivalent), idx<->id maps, the
+processed-pair graph, and a per-image feature store; each `process*` call
+dispatches ONE fused device kernel (sfm/kernels.py) and applies the
+reference's failure gates host-side on returned scalars:
+
+  process_initial: disparity -> homography -> 5pt inliers -> forward-motion
+  -> mean tri angle (sequential_mapper.cc:46-386);
+  process: disparity -> homography -> #stable 2D-3D -> P3P inliers ->
+  refinement final cost, then track continuation + new triangulations
+  (sequential_mapper.cc:389-934).
+
+All thresholds given in pixels are converted to normalized-coordinate units
+with threshold / mean(fx, fy), exactly like the reference
+(camera_models.cc:47-52).
+"""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..fm import MapStore
+from ..models import camera as cam
+from ..utils.mathx import rel2abs_threshold
+from .kernels import two_view_init, register_view
+from .options import SequentialMapperOptions
+
+
+class SequentialMapper:
+    def __init__(
+        self,
+        image_cameras,
+        cam_models,
+        cam_params,
+        feature_provider,
+        loop_detector=None,
+        seed=0,
+    ):
+        """image_cameras: (num_images,) camera index per dataset image;
+        cam_models/cam_params: per-camera model codes and padded params;
+        feature_provider: FeatureProvider with fixed capacity."""
+        self.image_cameras = np.asarray(image_cameras, np.int32)
+        self.cam_models = np.asarray(cam_models, np.int32)
+        self.cam_params = np.asarray(cam_params, np.float32)
+        self.provider = feature_provider
+        self.loop_detector = loop_detector
+
+        self.store = MapStore()
+        self._store_cam_ids = {}
+        self.image_idx_to_id = {}
+        self.image_id_to_idx = {}
+        self.pair_graph = set()
+        self.num_proc_images = 0
+        self.min_image_idx = None
+        self.max_image_idx = None
+        self._key = jax.random.PRNGKey(seed)
+        self._feat_cache = {}
+        self._norm_cache = {}
+
+    # ------------------------------------------------------------- helpers
+
+    def _next_key(self):
+        self._key, k = jax.random.split(self._key)
+        return k
+
+    def _features(self, image_idx):
+        if image_idx not in self._feat_cache:
+            self._feat_cache[image_idx] = self.provider.get(image_idx)
+        return self._feat_cache[image_idx]
+
+    def _normalized(self, image_idx):
+        """Normalized coords of an image's (padded) keypoints."""
+        if image_idx not in self._norm_cache:
+            f = self._features(image_idx)
+            ci = self.image_cameras[image_idx]
+            n = cam.image2normalized(
+                jnp.asarray(f.keypoints),
+                int(self.cam_models[ci]),
+                jnp.asarray(self.cam_params[ci]),
+            )
+            self._norm_cache[image_idx] = np.asarray(n, np.float32)
+        return self._norm_cache[image_idx]
+
+    def _norm_threshold(self, px, image_idx):
+        ci = self.image_cameras[image_idx]
+        p = self.cam_params[ci]
+        return float(px) / float((p[0] + p[1]) / 2.0)
+
+    def _store_camera(self, cam_idx):
+        if cam_idx not in self._store_cam_ids:
+            self._store_cam_ids[cam_idx] = self.store.add_camera(
+                int(self.cam_models[cam_idx]), self.cam_params[cam_idx]
+            )
+        return self._store_cam_ids[cam_idx]
+
+    def _add_image_to_store(self, image_idx):
+        f = self._features(image_idx)
+        n = self._normalized(image_idx)
+        cid = self._store_camera(int(self.image_cameras[image_idx]))
+        image_id, p2d = self.store.add_image(cid, f.keypoints, n)
+        self.image_idx_to_id[image_idx] = image_id
+        self.image_id_to_idx[image_id] = image_idx
+        if self.loop_detector is not None:
+            self.loop_detector.add_image(image_idx, f)
+        self._track_minmax(image_idx)
+        self.num_proc_images += 1
+        return image_id
+
+    def _track_minmax(self, image_idx):
+        if self.min_image_idx is None or image_idx < self.min_image_idx:
+            self.min_image_idx = image_idx
+        if self.max_image_idx is None or image_idx > self.max_image_idx:
+            self.max_image_idx = image_idx
+
+    def is_image_processed(self, image_idx):
+        return image_idx in self.image_idx_to_id
+
+    def is_pair_processed(self, idx1, idx2):
+        return (min(idx1, idx2), max(idx1, idx2)) in self.pair_graph
+
+    def get_pose(self, image_idx):
+        return self.store.get_pose(self.image_idx_to_id[image_idx])
+
+    # ------------------------------------------------------ process_initial
+
+    def process_initial(self, first_idx, second_idx,
+                        options: SequentialMapperOptions = None):
+        """Two-view initialization (reference sequential_mapper.cc:46-386)."""
+        options = options or SequentialMapperOptions()
+        if self.num_proc_images > 0:
+            raise ValueError("initial processing can only be called once")
+        if first_idx == second_idx:
+            raise ValueError("initial pair must be distinct images")
+
+        f1 = self._features(first_idx)
+        f2 = self._features(second_idx)
+        n1 = self._normalized(first_idx)
+        n2 = self._normalized(second_idx)
+        nt = self._norm_threshold(options.ransac_max_reproj_error, first_idx)
+
+        r = two_view_init(
+            self._next_key(),
+            jnp.asarray(f1.keypoints), jnp.asarray(f1.descriptors),
+            jnp.asarray(f1.mask), jnp.asarray(n1),
+            jnp.asarray(f2.keypoints), jnp.asarray(f2.descriptors),
+            jnp.asarray(f2.mask), jnp.asarray(n2),
+            jnp.float32(options.match_max_ratio),
+            jnp.float32(options.match_max_distance if options.match_max_distance > 0 else 1e9),
+            jnp.float32(nt),
+            essential_trials=options.essential_ransac_trials,
+            max_depth=options.max_depth,
+        )
+
+        num_matches = int(r.num_matches)
+        if num_matches < 5:
+            return False
+        # Gate 1: disparity (px).
+        if options.min_disparity > 0 and float(r.med_disparity) < options.min_disparity:
+            return False
+        # Gate 2: homography inlier ratio.
+        max_hom = rel2abs_threshold(options.max_homography_inliers, num_matches)
+        if int(r.num_hom_inliers) > max_hom:
+            return False
+        # Gate 3: essential inliers.
+        min_inl = rel2abs_threshold(options.ransac_min_inlier_threshold, num_matches)
+        if int(r.num_e_inliers) < min_inl:
+            return False
+        # Gate 4: forward motion.
+        if float(r.z_component) > 0.99:
+            return False
+        # Gate 5: mean triangulation angle (degrees).
+        if float(r.mean_tri_angle) < options.tri_min_angle:
+            return False
+
+        # Commit to store: first pose = identity (reference :269-271).
+        first_id = self._add_image_to_store(first_idx)
+        second_id = self._add_image_to_store(second_idx)
+        self.store.set_pose(first_id, np.zeros(3), np.zeros(3))
+        self.store.set_pose(second_id, np.asarray(r.rvec2), np.asarray(r.tvec2))
+
+        matches = np.asarray(r.matches)
+        inlier = np.asarray(r.e_inlier)
+        X = np.asarray(r.points3D)
+        d1 = np.asarray(r.depth1)
+        p2d_first = self.store.point2D_ids_of_image(first_id)
+        p2d_second = self.store.point2D_ids_of_image(second_id)
+        for i in np.where(inlier)[0]:
+            if d1[i] > 0:
+                pid = self.store.add_correspondence(
+                    p2d_first[i], p2d_second[matches[i]]
+                )
+                self.store.set_point3D(pid, X[i])
+
+        self.pair_graph.add((min(first_idx, second_idx), max(first_idx, second_idx)))
+        return True
+
+    # --------------------------------------------------------------- process
+
+    def process(self, image_idx, prev_image_idx,
+                options: SequentialMapperOptions = None, debug=False):
+        """Register `image_idx` against processed `prev_image_idx`
+        (reference sequential_mapper.cc:389-934)."""
+        options = options or SequentialMapperOptions()
+        if image_idx == prev_image_idx:
+            return False
+        # Swap so prev is processed (reference :400-406).
+        if not self.is_image_processed(prev_image_idx):
+            if not self.is_image_processed(image_idx):
+                raise ValueError("neither image of the pair is processed")
+            image_idx, prev_image_idx = prev_image_idx, image_idx
+        if self.is_pair_processed(image_idx, prev_image_idx):
+            return True
+
+        fp = self._features(prev_image_idx)
+        fc = self._features(image_idx)
+        np_ = self._normalized(prev_image_idx)
+        nc = self._normalized(image_idx)
+        nt = self._norm_threshold(options.ransac_max_reproj_error, image_idx)
+        tri_nt = self._norm_threshold(options.tri_max_reproj_error, image_idx)
+
+        prev_id = self.image_idx_to_id[prev_image_idx]
+        prev_p2d = self.store.point2D_ids_of_image(prev_id)
+        F = self.provider.capacity
+        n_prev_feats = len(prev_p2d)
+
+        # Per prev-row track info.
+        p3d = self.store.point2D_point3D[prev_p2d]
+        has_p3d = p3d >= 0
+        has_tri = np.zeros(F, bool)
+        stable = np.zeros(F, bool)
+        xyz = np.zeros((F, 3), np.float32)
+        for row in np.where(has_p3d)[0]:
+            pid = int(p3d[row])
+            if not self.store.point3D_valid[pid]:
+                continue
+            tlen = self.store.track_len(pid)
+            if self.store.point3D_tri[pid]:
+                has_tri[row] = True
+                xyz[row] = self.store.point3D_xyz[pid]
+                if tlen >= options.min_track_len:
+                    stable[row] = True
+
+        prev_rvec, prev_tvec = self.store.get_pose(prev_id)
+        ci = self.image_cameras[image_idx]
+
+        r = register_view(
+            self._next_key(),
+            jnp.asarray(fp.keypoints), jnp.asarray(fp.descriptors),
+            jnp.asarray(fp.mask), jnp.asarray(np_),
+            jnp.asarray(fc.keypoints), jnp.asarray(fc.descriptors),
+            jnp.asarray(fc.mask), jnp.asarray(nc),
+            jnp.asarray(xyz), jnp.asarray(has_tri), jnp.asarray(stable),
+            jnp.asarray(prev_rvec, jnp.float32), jnp.asarray(prev_tvec, jnp.float32),
+            jnp.asarray(self.cam_params[ci]), jnp.asarray(self.cam_models[ci]),
+            jnp.float32(options.match_max_ratio),
+            jnp.float32(options.match_max_distance if options.match_max_distance > 0 else 1e9),
+            jnp.float32(nt),
+            p3p_trials=options.p3p_ransac_trials,
+        )
+
+        num_matches = int(r.num_matches)
+        num_stable = int(r.num_stable)
+        min_inl = rel2abs_threshold(options.ransac_min_inlier_threshold, num_stable)
+        max_hom = rel2abs_threshold(options.max_homography_inliers, num_matches)
+        if debug:
+            print(
+                f"DEBUG process({image_idx},{prev_image_idx}): "
+                f"matches={num_matches} disp={float(r.med_disparity):.1f} "
+                f"hom={int(r.num_hom_inliers)}/{max_hom} stable={num_stable} "
+                f"p3p={int(r.num_p3p_inliers)}/{min_inl} "
+                f"cost={float(r.final_cost):.2f}/{options.final_cost_threshold}"
+            )
+        if num_matches == 0:
+            return False
+        if options.min_disparity > 0 and float(r.med_disparity) < options.min_disparity:
+            return False
+        if int(r.num_hom_inliers) > max_hom:
+            return False
+        if num_stable < max(min_inl, 4):
+            return False
+        if not bool(r.p3p_success):
+            return False
+        if int(r.num_p3p_inliers) < min_inl:
+            return False
+        if float(r.final_cost) > options.final_cost_threshold:
+            return False
+
+        # Commit pose.
+        already = self.is_image_processed(image_idx)
+        if already:
+            curr_id = self.image_idx_to_id[image_idx]
+        else:
+            curr_id = self._add_image_to_store(image_idx)
+            self.store.set_pose(curr_id, np.asarray(r.rvec), np.asarray(r.tvec))
+
+        curr_p2d = self.store.point2D_ids_of_image(curr_id)
+        matches = np.asarray(r.matches)
+        valid = np.asarray(r.match_valid)
+        track_err = np.asarray(r.track_reproj)
+        Xnew = np.asarray(r.new_points3D)
+        ep = np.asarray(r.new_reproj_prev)
+        ec = np.asarray(r.new_reproj_curr)
+        ang = np.asarray(r.new_tri_angle)
+        dp = np.asarray(r.new_depth_prev)
+        dc = np.asarray(r.new_depth_curr)
+        min_ang = options.tri_min_angle * np.pi / 180.0
+
+        rows = np.where(valid[:n_prev_feats])[0]
+        for i in rows:
+            jrow = matches[i]
+            if has_tri[i]:
+                # Continue track if reprojection in the new view is small
+                # (reference :764-777).
+                if track_err[i] < tri_nt:
+                    self.store.add_correspondence(prev_p2d[i], curr_p2d[jrow])
+            else:
+                # New triangulation (reference :784-810).
+                a = min(ang[i], np.pi - ang[i])
+                if (
+                    ep[i] < tri_nt
+                    and ec[i] < tri_nt
+                    and a >= min_ang
+                    and dp[i] > 0
+                    and dc[i] > 0
+                ):
+                    pid = self.store.add_correspondence(prev_p2d[i], curr_p2d[jrow])
+                    if self.store.point3D_valid[pid] and not self.store.point3D_tri[pid]:
+                        self.store.set_point3D(pid, Xnew[i])
+
+        self.pair_graph.add(
+            (min(image_idx, prev_image_idx), max(image_idx, prev_image_idx))
+        )
+        return True
+
+    # ------------------------------------------------------------- BA bridge
+
+    def adjust_bundle(
+        self,
+        free_image_idxs,
+        fixed_image_idxs,
+        fixed_x_image_idxs=(),
+        ba_options=None,
+        rot_priors=None,
+        rot_prior_weight=0.0,
+        gcp_point_ids=(),
+    ):
+        """Bundle-adjust a subset of images (reference adjust_bundle,
+        sequential_mapper.cc:1030-1158). Returns the BA info dict.
+
+        rot_priors: optional {image_idx: rvec prior} for IMU constraints.
+        gcp_point_ids: store point3D ids to pin.
+        """
+        from ..ba import BAOptions, build_problem, bundle_adjust
+        from ..ba import BA_POSE_FIXED, BA_POSE_FIXED_X
+
+        ba_options = ba_options or BAOptions()
+        sel_idxs = list(free_image_idxs) + list(fixed_image_idxs) + list(fixed_x_image_idxs)
+        sel_ids = [self.image_idx_to_id[i] for i in sel_idxs]
+        id_set = set(sel_ids)
+        id_to_row = {iid: k for k, iid in enumerate(sel_ids)}
+        states = (
+            [0] * len(free_image_idxs)
+            + [BA_POSE_FIXED] * len(fixed_image_idxs)
+            + [BA_POSE_FIXED_X] * len(fixed_x_image_idxs)
+        )
+        poses = np.concatenate(
+            [self.store.image_rvecs[sel_ids], self.store.image_tvecs[sel_ids]],
+            axis=1,
+        ).astype(np.float32)
+
+        obs_img_raw, obs_pt_raw, obs_xy, _ = self.store.observation_table(
+            min_track_len=ba_options.min_track_len
+        )
+        keep = np.array([int(i) in id_set for i in obs_img_raw], bool)
+        if keep.sum() < 1:
+            return None
+        obs_img_raw = obs_img_raw[keep]
+        obs_pt_raw = obs_pt_raw[keep]
+        obs_xy = obs_xy[keep]
+        # Points need >= 2 observations inside the problem to be solvable;
+        # single-obs points are held fixed.
+        pids, counts = np.unique(obs_pt_raw, return_counts=True)
+        pid_to_row = {int(p): k for k, p in enumerate(pids)}
+        points = self.store.point3D_xyz[pids].astype(np.float32)
+        point_fixed = counts < 2
+        gcp_set = set(int(g) for g in gcp_point_ids)
+        for k, p in enumerate(pids):
+            if int(p) in gcp_set:
+                point_fixed[k] = True
+
+        obs_image = np.array([id_to_row[int(i)] for i in obs_img_raw], np.int32)
+        obs_point = np.array([pid_to_row[int(p)] for p in obs_pt_raw], np.int32)
+        obs_cam = self.store.image_cameras[obs_img_raw].astype(np.int32)
+
+        rp = np.zeros((len(sel_ids), 3), np.float32)
+        rw = np.zeros((len(sel_ids),), np.float32)
+        if rot_priors:
+            for k, idx in enumerate(sel_idxs):
+                if idx in rot_priors:
+                    rp[k] = rot_priors[idx]
+                    rw[k] = rot_prior_weight
+
+        prob = build_problem(
+            poses, points, self.store.camera_params.astype(np.float32),
+            self.store.camera_models, obs_image, obs_point, obs_cam, obs_xy,
+            pose_states=states, point_fixed=point_fixed,
+            rot_prior=rp, rot_prior_weight=rw,
+        )
+        new_poses, new_points, info = bundle_adjust(prob, ba_options)
+        self.apply_ba_result(
+            sel_ids, np.asarray(new_poses), pids, np.asarray(new_points),
+            point_errors=np.asarray(info["point_errors"])
+            if "point_errors" in info else None,
+        )
+        return info
+
+    def adjust_global_bundle(self, ba_options=None, rot_priors=None,
+                             rot_prior_weight=0.0, gcp_point_ids=()):
+        """Global BA: first processed pose fixed, second's x-translation
+        fixed (reference sequential_mapper.cc:1092-1158)."""
+        reg = [iid for iid in range(self.store.num_images)
+               if self.store.image_registered[iid]]
+        if len(reg) < 2:
+            return None
+        idxs = [self.image_id_to_idx[iid] for iid in reg]
+        return self.adjust_bundle(
+            idxs[2:], [idxs[0]], [idxs[1]], ba_options=ba_options,
+            rot_priors=rot_priors, rot_prior_weight=rot_prior_weight,
+            gcp_point_ids=gcp_point_ids,
+        )
+
+    def ba_problem_arrays(self, min_track_len=2):
+        """Arrays for bundle adjustment over the current map.
+
+        Returns (image_ids, poses, point_ids, points, obs arrays, cam arrays)
+        with image/point rows indexed densely in the returned order.
+        """
+        image_ids = [iid for iid in range(self.store.num_images)
+                     if self.store.image_registered[iid]]
+        id_to_row = {iid: k for k, iid in enumerate(image_ids)}
+        poses = np.concatenate(
+            [self.store.image_rvecs[image_ids], self.store.image_tvecs[image_ids]],
+            axis=1,
+        ).astype(np.float32)
+
+        obs_img_raw, obs_pt_raw, obs_xy, _ = self.store.observation_table(
+            min_track_len=min_track_len
+        )
+        pids = np.unique(obs_pt_raw)
+        pid_to_row = {int(p): k for k, p in enumerate(pids)}
+        points = self.store.point3D_xyz[pids].astype(np.float32)
+
+        obs_image = np.array([id_to_row[int(i)] for i in obs_img_raw], np.int32)
+        obs_point = np.array([pid_to_row[int(p)] for p in obs_pt_raw], np.int32)
+        obs_cam = self.store.image_cameras[obs_img_raw].astype(np.int32)
+        return (
+            image_ids,
+            poses,
+            pids,
+            points,
+            obs_image,
+            obs_point,
+            obs_cam,
+            obs_xy.astype(np.float32),
+        )
+
+    def apply_ba_result(self, image_ids, poses, point_ids, points,
+                        point_errors=None):
+        for k, iid in enumerate(image_ids):
+            self.store.image_rvecs[iid] = poses[k, :3]
+            self.store.image_tvecs[iid] = poses[k, 3:]
+        for k, pid in enumerate(point_ids):
+            self.store.point3D_xyz[pid] = points[k]
+            if point_errors is not None:
+                self.store.point3D_error[pid] = point_errors[k]

@@ -1,0 +1,209 @@
+"""Synthetic UAV-style scenes for tests and benchmarks.
+
+The reference has no dataset in-repo; its tests use synthetic forward-model
+fixtures (SURVEY §4). This module scales that pattern to full sequences: a
+terrain point cloud with per-point descriptors, a serpentine aerial camera
+trajectory, and projected per-image features with configurable pixel noise,
+descriptor noise, clutter features, and dropout — enough to drive the whole
+mapper end-to-end and score ATE against ground truth.
+"""
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..models import camera as cam
+from ..ops.rotation import rotmat_from_euler  # noqa: F401  (convention ref)
+
+
+def _rot_x(a):
+    c, s = np.cos(a), np.sin(a)
+    return np.array([[1, 0, 0], [0, c, -s], [0, s, c]])
+
+
+def _rot_z(a):
+    c, s = np.cos(a), np.sin(a)
+    return np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]])
+
+
+def _rvec_from_R(R):
+    from ..ops.rotation import rvec_from_rotmat
+    import jax.numpy as jnp
+
+    return np.asarray(rvec_from_rotmat(jnp.asarray(R, jnp.float32)))
+
+
+@dataclass
+class SyntheticScene:
+    points3D: np.ndarray          # (M, 3) terrain points
+    descriptors: np.ndarray       # (M, D) unit-norm per-point descriptors
+    rvecs: np.ndarray             # (I, 3) world->cam ground truth
+    tvecs: np.ndarray             # (I, 3)
+    cam_params: np.ndarray        # (C, 9)
+    cam_models: np.ndarray        # (C,)
+    image_cameras: np.ndarray     # (I,)
+    image_size: tuple             # (width, height)
+
+    def camera_centers(self):
+        import jax.numpy as jnp
+        from ..ops.rotation import rotmat_from_rvec
+
+        R = np.asarray(rotmat_from_rvec(jnp.asarray(self.rvecs, np.float32)))
+        return -np.einsum("nij,nj->ni", R.transpose(0, 2, 1), self.tvecs)
+
+
+def make_uav_scene(
+    num_images=20,
+    num_points=2000,
+    descriptor_dim=128,
+    image_size=(800, 600),
+    focal=700.0,
+    altitude=30.0,
+    extent=60.0,
+    overlap_step=2.5,
+    rows=2,
+    relief=8.0,
+    cam_model=cam.PINHOLE,
+    distortion=None,
+    seed=0,
+):
+    """Serpentine aerial survey over a terrain patch."""
+    rng = np.random.default_rng(seed)
+    w, h = image_size
+
+    pts = np.stack(
+        [
+            rng.uniform(-extent * 0.2, extent * 1.2, num_points),
+            rng.uniform(-extent * 0.2, extent * 0.7, num_points),
+            rng.uniform(0.0, relief, num_points),
+        ],
+        axis=-1,
+    )
+    desc = rng.normal(size=(num_points, descriptor_dim)).astype(np.float32)
+    desc /= np.linalg.norm(desc, axis=-1, keepdims=True)
+
+    per_row = int(np.ceil(num_images / rows))
+    # Row spacing sized for cross-row frustum overlap: at nadir the frustum
+    # half-height is ~altitude * (h/2)/focal; step a fraction of that.
+    row_step = 0.8 * altitude * (image_size[1] / 2.0) / focal
+    rvecs, tvecs = [], []
+    for i in range(num_images):
+        r, k = divmod(i, per_row)
+        x = k * overlap_step if r % 2 == 0 else (per_row - 1 - k) * overlap_step
+        y = r * row_step
+        C = np.array([x, y, altitude]) + rng.normal(size=3) * 0.3
+        # Nadir-looking camera with small attitude perturbations.
+        R = (
+            _rot_z(rng.normal() * 0.05)
+            @ _rot_x(np.pi + rng.normal() * 0.05)
+        )
+        t = -R @ C
+        rvecs.append(_rvec_from_R(R))
+        tvecs.append(t)
+
+    params = np.zeros((1, 9), np.float32)
+    params[0, :4] = [focal, focal, w / 2, h / 2]
+    if distortion is not None:
+        params[0, 4 : 4 + len(distortion)] = distortion
+        cam_model = cam.OPENCV
+
+    return SyntheticScene(
+        points3D=pts,
+        descriptors=desc,
+        rvecs=np.array(rvecs, np.float32),
+        tvecs=np.array(tvecs, np.float32),
+        cam_params=params,
+        cam_models=np.array([cam_model], np.int32),
+        image_cameras=np.zeros(num_images, np.int32),
+        image_size=image_size,
+    )
+
+
+def render_features(
+    scene: SyntheticScene,
+    pixel_noise=0.3,
+    descriptor_noise=0.05,
+    clutter=50,
+    dropout=0.05,
+    max_features=None,
+    seed=0,
+):
+    """Project the scene into every image -> list of (keypoints, descriptors).
+
+    Per image: visible points (in frustum + in bounds), pixel noise on
+    keypoints, descriptor noise (keeps matchability), `clutter` random
+    non-matchable features, and random dropout. Returns (feats_list,
+    gt_point_ids_list) where gt ids map each feature row to its source 3-D
+    point (-1 for clutter) — used by tests to score match correctness.
+    """
+    import jax.numpy as jnp
+    from ..ops.rotation import rotmat_from_rvec
+
+    rng = np.random.default_rng(seed + 1)
+    w, h = scene.image_size
+    feats, gt_ids = [], []
+    for i in range(len(scene.rvecs)):
+        R = np.asarray(rotmat_from_rvec(jnp.asarray(scene.rvecs[i])))
+        Xc = scene.points3D @ R.T + scene.tvecs[i]
+        ci = scene.image_cameras[i]
+        uv = np.asarray(
+            cam.world2image(
+                jnp.asarray(Xc, jnp.float32),
+                int(scene.cam_models[ci]),
+                jnp.asarray(scene.cam_params[ci]),
+            )
+        )
+        vis = (
+            (Xc[:, 2] > 1.0)
+            & (uv[:, 0] >= 0)
+            & (uv[:, 0] < w)
+            & (uv[:, 1] >= 0)
+            & (uv[:, 1] < h)
+        )
+        idx = np.where(vis)[0]
+        if dropout:
+            keep = rng.random(len(idx)) > dropout
+            idx = idx[keep]
+        kp = uv[idx] + rng.normal(size=(len(idx), 2)) * pixel_noise
+        de = scene.descriptors[idx] + rng.normal(
+            size=(len(idx), scene.descriptors.shape[1])
+        ).astype(np.float32) * descriptor_noise
+        de /= np.maximum(np.linalg.norm(de, axis=-1, keepdims=True), 1e-12)
+        ids = idx.astype(np.int64)
+
+        if clutter:
+            ckp = np.stack(
+                [rng.uniform(0, w, clutter), rng.uniform(0, h, clutter)], axis=-1
+            )
+            cde = rng.normal(size=(clutter, scene.descriptors.shape[1])).astype(
+                np.float32
+            )
+            cde /= np.linalg.norm(cde, axis=-1, keepdims=True)
+            kp = np.concatenate([kp, ckp], axis=0)
+            de = np.concatenate([de, cde], axis=0)
+            ids = np.concatenate([ids, np.full(clutter, -1, np.int64)])
+
+        perm = rng.permutation(len(kp))
+        kp, de, ids = kp[perm], de[perm], ids[perm]
+        if max_features is not None and len(kp) > max_features:
+            kp, de, ids = kp[:max_features], de[:max_features], ids[:max_features]
+        feats.append((kp.astype(np.float32), de))
+        gt_ids.append(ids)
+    return feats, gt_ids
+
+
+def ate_rmse(est_centers, gt_centers, mask=None):
+    """Absolute trajectory error after similarity alignment (Umeyama)."""
+    import jax.numpy as jnp
+    from ..ops.similarity import solve_umeyama, transform_points
+
+    if mask is not None:
+        est_centers = est_centers[mask]
+        gt_centers = gt_centers[mask]
+    if len(est_centers) < 3:
+        return np.inf
+    T = solve_umeyama(
+        jnp.asarray(est_centers, jnp.float32), jnp.asarray(gt_centers, jnp.float32)
+    )
+    aligned = np.asarray(transform_points(T, jnp.asarray(est_centers, jnp.float32)))
+    return float(np.sqrt(np.mean(np.sum((aligned - gt_centers) ** 2, axis=-1))))

@@ -1,0 +1,104 @@
+"""End-to-end sequential mapper tests on synthetic UAV scenes.
+
+The missing integration tier of the reference's test strategy (SURVEY §4):
+drive the full mapper over a rendered sequence and assert ATE against
+ground truth.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from mavmap_tpu.ba import BAOptions
+from mavmap_tpu.features import ArrayFeatureProvider
+from mavmap_tpu.ops.rotation import rotmat_from_rvec
+from mavmap_tpu.sfm import SequentialMapper, SequentialMapperOptions
+from mavmap_tpu.utils.synthetic import make_uav_scene, render_features, ate_rmse
+
+
+def _run_sequence(scene, feats, opts=None, init_opts=None, local_ba_window=8):
+    cap = int(np.ceil(max(len(k) for k, _ in feats) / 256)) * 256
+    prov = ArrayFeatureProvider(feats, capacity=cap)
+    m = SequentialMapper(scene.image_cameras, scene.cam_models, scene.cam_params, prov)
+    opts = opts or SequentialMapperOptions(
+        tri_min_angle=1.0, final_cost_threshold=2.0,
+        essential_ransac_trials=256, p3p_ransac_trials=256,
+    )
+    init_opts = init_opts or SequentialMapperOptions(
+        tri_min_angle=4.0, final_cost_threshold=2.0,
+        essential_ransac_trials=256, p3p_ransac_trials=256,
+    )
+    n = len(scene.rvecs)
+    assert m.process_initial(0, 1, init_opts)
+    last = 1
+    for i in range(2, n):
+        if m.process(i, last, opts):
+            last = i
+            reg = sorted(m.image_idx_to_id.keys())
+            window = reg[-local_ba_window:]
+            if len(window) > 2:
+                m.adjust_bundle(window[2:], window[:2],
+                                ba_options=BAOptions(max_num_iterations=8))
+    m.adjust_global_bundle(BAOptions(max_num_iterations=30))
+    return m
+
+
+def _ate(m, scene):
+    reg_ids = [iid for iid in range(m.store.num_images)
+               if m.store.image_registered[iid]]
+    idxs = [m.image_id_to_idx[iid] for iid in reg_ids]
+    R = np.asarray(rotmat_from_rvec(jnp.asarray(m.store.image_rvecs[reg_ids], jnp.float32)))
+    est_C = -np.einsum("nij,nj->ni", R.transpose(0, 2, 1), m.store.image_tvecs[reg_ids])
+    gt_C = scene.camera_centers()[idxs]
+    return ate_rmse(est_C, gt_C), len(reg_ids)
+
+
+@pytest.mark.slow
+def test_sequential_mapping_pinhole(rng):
+    scene = make_uav_scene(num_images=8, num_points=1200, relief=10.0, seed=1)
+    feats, _ = render_features(scene, pixel_noise=0.3, clutter=30, seed=1)
+    m = _run_sequence(scene, feats)
+    ate, nreg = _ate(m, scene)
+    assert nreg == 8
+    assert ate < 0.1  # meters, at 30 m altitude
+    assert m.store.num_points3D > 200
+
+
+@pytest.mark.slow
+def test_sequential_mapping_opencv_distortion(rng):
+    scene = make_uav_scene(num_images=6, num_points=1200, relief=10.0,
+                           distortion=[-0.25, 0.07, 0.0005, -0.0005], seed=3)
+    feats, _ = render_features(scene, pixel_noise=0.3, clutter=20, seed=3)
+    m = _run_sequence(scene, feats)
+    ate, nreg = _ate(m, scene)
+    assert nreg == 6
+    assert ate < 0.15
+
+
+def test_mapper_rejects_planar_pair(rng):
+    # Homography gate: a flat scene must fail two-view init.
+    scene = make_uav_scene(num_images=2, num_points=800, relief=0.2, seed=5)
+    feats, _ = render_features(scene, pixel_noise=0.2, clutter=10, seed=5)
+    cap = int(np.ceil(max(len(k) for k, _ in feats) / 256)) * 256
+    prov = ArrayFeatureProvider(feats, capacity=cap)
+    m = SequentialMapper(scene.image_cameras, scene.cam_models, scene.cam_params, prov)
+    assert not m.process_initial(0, 1, SequentialMapperOptions(
+        essential_ransac_trials=128))
+
+
+def test_mapper_pair_bookkeeping(rng):
+    scene = make_uav_scene(num_images=4, num_points=1200, relief=10.0, seed=1)
+    feats, _ = render_features(scene, pixel_noise=0.3, seed=1)
+    cap = int(np.ceil(max(len(k) for k, _ in feats) / 256)) * 256
+    prov = ArrayFeatureProvider(feats, capacity=cap)
+    m = SequentialMapper(scene.image_cameras, scene.cam_models, scene.cam_params, prov)
+    opts = SequentialMapperOptions(tri_min_angle=1.0, final_cost_threshold=2.0,
+                                   essential_ransac_trials=256, p3p_ransac_trials=256)
+    assert m.process_initial(0, 1, opts)
+    assert m.is_pair_processed(0, 1) and m.is_image_processed(1)
+    assert m.process(2, 1, opts)
+    # Re-processing a processed pair is a no-op returning True.
+    assert m.process(2, 1, opts)
+    with pytest.raises(ValueError):
+        SequentialMapper(scene.image_cameras, scene.cam_models,
+                         scene.cam_params, prov).process(2, 3, opts)
