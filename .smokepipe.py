@@ -1,0 +1,45 @@
+import numpy as np, jax, time
+jax.config.update('jax_default_device', jax.devices('cpu')[0])
+from mavmap_tpu.utils.synthetic import make_uav_scene, render_features, ate_rmse
+from mavmap_tpu.features import ArrayFeatureProvider
+from mavmap_tpu.sfm.pipeline import run_pipeline, PipelineOptions
+from mavmap_tpu.loop import train_voc_tree
+
+t0=time.time()
+scene = make_uav_scene(num_images=16, num_points=2500, relief=10.0, rows=2, seed=2)
+feats, gt_ids = render_features(scene, pixel_noise=0.3, clutter=30, seed=2)
+cap = int(np.ceil(max(len(k) for k,_ in feats)/256))*256
+prov = ArrayFeatureProvider(feats, capacity=cap)
+all_desc = np.concatenate([d for _, d in feats], axis=0)
+tree = train_voc_tree(all_desc[np.random.default_rng(0).permutation(len(all_desc))[:5000]],
+                      branching=8, depth=3, iters=4)
+print(f'voctree trained +{time.time()-t0:.1f}s')
+opts = PipelineOptions(verbose=True, loop_detection_period=6, tri_min_angle=1.0,
+                       init_tri_min_angle=4.0, min_track_len=2)
+res = run_pipeline(scene.image_cameras, scene.cam_models, scene.cam_params, prov,
+                   opts, voc_tree=tree)
+m = res.main_mapper
+print(f'mappers={len(res.mappers)} registered={m.num_proc_images}/16 +{time.time()-t0:.1f}s')
+import jax.numpy as jnp
+from mavmap_tpu.ops.rotation import rotmat_from_rvec
+reg_ids = [iid for iid in range(m.store.num_images) if m.store.image_registered[iid]]
+idxs = [m.image_id_to_idx[iid] for iid in reg_ids]
+R = np.asarray(rotmat_from_rvec(jnp.asarray(m.store.image_rvecs[reg_ids], jnp.float32)))
+est_C = -np.einsum('nij,nj->ni', R.transpose(0,2,1), m.store.image_tvecs[reg_ids])
+gt_C = scene.camera_centers()[idxs]
+print('ATE:', ate_rmse(est_C, gt_C), 'points:', m.store.num_points3D)
+# outputs
+from mavmap_tpu.sfm import outputs
+from mavmap_tpu.utils.io import ImageRecord
+recs = [ImageRecord(name=f'img{i}', camera_idx=0, camera_model=1,
+                    camera_params=list(scene.cam_params[0][:4])) for i in range(16)]
+import tempfile, os
+d = tempfile.mkdtemp()
+outputs.write_image_data(m, recs, os.path.join(d, 'imagedataout.txt'))
+outputs.write_point_cloud_data(m, os.path.join(d, 'points3D.txt'))
+outputs.write_point_cloud_ply(m, os.path.join(d, 'points3D.ply'))
+outputs.write_camera_models_vrml(m, os.path.join(d, 'cameras.wrl'))
+outputs.write_point_cloud_vrml(m, os.path.join(d, 'points.wrl'))
+outputs.write_camera_connections_vrml(m, os.path.join(d, 'connections.wrl'))
+print('outputs written to', d)
+print(open(os.path.join(d,'imagedataout.txt')).readlines()[1][:120])

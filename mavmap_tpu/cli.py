@@ -1,0 +1,217 @@
+"""mavmap_tpu command-line mapper — counterpart of reference src/mapper.cc.
+
+Flag names mirror the reference CLI (mapper.cc:620-913) where the concept
+carries over. Input: a path containing `imagedata.txt` plus either cached
+feature .npz files or images for the on-device detector; output: estimated
+poses, point cloud, and VRML/PLY models.
+
+Usage:
+    python -m mavmap_tpu.cli --input-path DATA/ --output-path OUT/ \
+        [--cache-path CACHE/] [--voc-tree-path TREE.npz] [flags...]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+
+def build_parser():
+    p = argparse.ArgumentParser(
+        prog="mavmap_tpu",
+        description="TPU-native sequential structure-from-motion",
+    )
+    # Paths (mapper.cc:624-660).
+    p.add_argument("--input-path", required=True)
+    p.add_argument("--output-path", required=True)
+    p.add_argument("--cache-path", default=None)
+    p.add_argument("--voc-tree-path", default=None,
+                   help=".npz vocabulary tree (train one with "
+                        "mavmap_tpu.loop.train_voc_tree); omit to disable "
+                        "loop detection")
+    p.add_argument("--image-prefix", default="")
+    p.add_argument("--image-suffix", default="")
+    p.add_argument("--image-ext", default=".png")
+
+    # Range (mapper.cc:664-686).
+    p.add_argument("--start-image-idx", type=int, default=0)
+    p.add_argument("--end-image-idx", type=int, default=-1)
+    p.add_argument("--first-image-idx", type=int, default=-1)
+    p.add_argument("--second-image-idx", type=int, default=-1)
+
+    # Detection (SURF options in the reference; DoH detector here).
+    p.add_argument("--surf-hessian-threshold", type=float, default=1000.0)
+    p.add_argument("--surf-num-octaves", type=int, default=4)
+    p.add_argument("--surf-num-octave-layers", type=int, default=3)
+    p.add_argument("--max-features", type=int, default=2048)
+
+    # Matching / gates (mapper.cc:755-806).
+    p.add_argument("--match-max-ratio", type=float, default=0.9)
+    p.add_argument("--match-max-distance", type=float, default=-1)
+    p.add_argument("--min-disparity", type=float, default=0)
+    p.add_argument("--max-homography-inliers", type=float, default=0.7)
+    p.add_argument("--init-max-homography-inliers", type=float, default=0.7)
+    p.add_argument("--final-cost-threshold", type=float, default=2.0)
+    p.add_argument("--ransac-min-inlier-threshold", type=float, default=30)
+    p.add_argument("--ransac-max-reproj-error", type=float, default=4.0)
+    p.add_argument("--tri-max-reproj-error", type=float, default=4.0)
+    p.add_argument("--init-tri-min-angle", type=float, default=10.0)
+    p.add_argument("--tri-min-angle", type=float, default=1.0)
+    p.add_argument("--min-track-len", type=int, default=3)
+
+    # Orchestration (mapper.cc:810-868).
+    p.add_argument("--max-subsequent-trials", type=int, default=30)
+    p.add_argument("--local-ba-window-size", type=int, default=8)
+    p.add_argument("--loop-detection-period", type=int, default=20)
+    p.add_argument("--loop-detection-num-images", type=int, default=30)
+    p.add_argument("--merge-num-skip-images", type=int, default=5)
+    p.add_argument("--no-loop-detection", action="store_true")
+    p.add_argument("--process-prev-prev", action="store_true")
+
+    # Constraints (mapper.cc:871-899).
+    p.add_argument("--constrain-rotation", action="store_true",
+                   help="use roll/pitch/yaw from imagedata.txt as IMU priors")
+    p.add_argument("--constrain-rotation-weight", type=float, default=50.0)
+    p.add_argument("--use-control-points", action="store_true")
+    p.add_argument("--control-point-data-path", default=None)
+    p.add_argument("--filter-max-error", type=float, default=0.0)
+
+    p.add_argument("--quiet", action="store_true")
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+
+    import numpy as np
+
+    from .features import ArrayFeatureProvider, FeatureCache
+    from .loop import VocTree
+    from .sfm import outputs
+    from .sfm.pipeline import PipelineOptions, run_pipeline
+    from .utils.io import (
+        cameras_from_records,
+        read_control_point_data,
+        read_image_data,
+        write_control_point_data,
+    )
+
+    t0 = time.time()
+    image_data_path = os.path.join(args.input_path, "imagedata.txt")
+    records = read_image_data(image_data_path)
+    cam_models, cam_params, image_cameras = cameras_from_records(records)
+    print(f"Loaded {len(records)} images, {len(cam_models)} cameras")
+
+    cache_path = args.cache_path or os.path.join(args.output_path, "cache")
+    os.makedirs(args.output_path, exist_ok=True)
+
+    detector_params = {
+        "hessian_threshold": args.surf_hessian_threshold,
+        "num_octaves": args.surf_num_octaves,
+        "num_octave_layers": args.surf_num_octave_layers,
+        "max_features": args.max_features,
+    }
+
+    def detect(image_idx):
+        from .features.detector import detect_image_file
+
+        name = args.image_prefix + records[image_idx].name + args.image_suffix
+        path = os.path.join(args.input_path, name + args.image_ext)
+        return detect_image_file(path, **detector_params)
+
+    cache = FeatureCache(cache_path, detector_params, detector=detect,
+                         capacity=args.max_features)
+
+    class CachedProvider:
+        capacity = args.max_features
+        descriptor_dim = 128
+
+        def get(self, image_idx):
+            return cache.query(image_idx, records[image_idx].name)
+
+    provider = CachedProvider()
+
+    voc_tree = None
+    if args.voc_tree_path and not args.no_loop_detection:
+        voc_tree = VocTree.load(args.voc_tree_path)
+
+    rot_priors = None
+    if args.constrain_rotation:
+        rot_priors = {i: rec.prior_rvec() for i, rec in enumerate(records)}
+
+    control_points = None
+    if args.use_control_points:
+        if not args.control_point_data_path:
+            print("--use-control-points requires --control-point-data-path",
+                  file=sys.stderr)
+            return 1
+        control_points = read_control_point_data(args.control_point_data_path)
+
+    opts = PipelineOptions(
+        start_image_idx=args.start_image_idx,
+        end_image_idx=args.end_image_idx,
+        first_image_idx=args.first_image_idx,
+        second_image_idx=args.second_image_idx,
+        max_subsequent_trials=args.max_subsequent_trials,
+        local_ba_window_size=args.local_ba_window_size,
+        loop_detection=voc_tree is not None,
+        loop_detection_period=args.loop_detection_period,
+        loop_detection_num_images=args.loop_detection_num_images,
+        merge_num_skip_images=args.merge_num_skip_images,
+        min_track_len=args.min_track_len,
+        final_cost_threshold=args.final_cost_threshold,
+        init_max_homography_inliers=args.init_max_homography_inliers,
+        init_tri_min_angle=args.init_tri_min_angle,
+        tri_min_angle=args.tri_min_angle,
+        constrain_rotation=args.constrain_rotation,
+        constrain_rotation_weight=args.constrain_rotation_weight,
+        use_control_points=args.use_control_points,
+        filter_max_error=args.filter_max_error,
+        process_prev_prev=args.process_prev_prev,
+        verbose=not args.quiet,
+    )
+
+    result = run_pipeline(
+        image_cameras, cam_models, cam_params, provider, opts,
+        voc_tree=voc_tree, rot_priors=rot_priors,
+        control_points=control_points,
+    )
+
+    if not result.mappers:
+        print("Mapping failed: no images registered", file=sys.stderr)
+        return 1
+
+    for k, m in enumerate(sorted(result.mappers, key=lambda m: -m.num_proc_images)):
+        suffix = "" if k == 0 else f"-{k}"
+        outputs.write_image_data(
+            m, records, os.path.join(args.output_path, f"imagedataout{suffix}.txt"))
+        outputs.write_point_cloud_data(
+            m, os.path.join(args.output_path, f"points3D{suffix}.txt"))
+        outputs.write_point_cloud_ply(
+            m, os.path.join(args.output_path, f"points3D{suffix}.ply"))
+        outputs.write_camera_models_vrml(
+            m, os.path.join(args.output_path, f"cameras{suffix}.wrl"))
+        outputs.write_point_cloud_vrml(
+            m, os.path.join(args.output_path, f"points3D{suffix}.wrl"))
+        outputs.write_camera_connections_vrml(
+            m, os.path.join(args.output_path, f"connections{suffix}.wrl"))
+
+    if result.control_point_results:
+        rows = [(cp, est if est is not None else np.zeros(3), tl, res_)
+                for cp, est, tl, res_ in result.control_point_results]
+        write_control_point_data(
+            os.path.join(args.output_path, "control_points_out.txt"),
+            [r[0] for r in rows], [r[1] for r in rows],
+            [r[2] for r in rows], [r[3] for r in rows],
+        )
+
+    n_reg = result.main_mapper.num_proc_images
+    elapsed = time.time() - t0
+    print(f"Registered {n_reg}/{len(records)} images in {elapsed:.1f} s "
+          f"({len(result.mappers)} sub-map(s), "
+          f"{result.main_mapper.store.num_points3D} points)")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,247 @@
+"""On-device SURF-style feature detection + description in pure JAX.
+
+TPU-native counterpart of reference src/base2d/feature.{h,cc}
+(AdaptiveSURF). The reference uses OpenCV's integral-image box-filter SURF
+with a per-cell adaptive Hessian threshold (feature.cc:180-309). Integral-
+image tricks are a CPU optimization; on TPU the idiomatic formulation is:
+
+  - scale space via separable Gaussian(-derivative) convolutions (conv =
+    MXU work, fused by XLA);
+  - determinant-of-Hessian response det = Lxx Lyy - (0.9 Lxy)^2 per scale
+    (the classic SURF response, Bay et al.);
+  - 3x3x3 non-max suppression entirely as tensor ops;
+  - per-cell top-K selection over a fixed grid replacing the reference's
+    iterative per-cell threshold adaptation (same goal — spatially uniform
+    feature coverage — without the data-dependent loop);
+  - upright SURF-128 descriptor: 4x4 spatial cells x (sum dx, sum |dx|,
+    sum dy, sum |dy|) split by gradient sign = 128 dims, sampled on a
+    20s x 20s window with bilinear interpolation (orientation assignment
+    is skipped — U-SURF — which is standard for aerial nadir imagery).
+
+Everything below is jit-compiled with static shapes; keypoint counts are
+fixed-capacity with validity masks.
+"""
+
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def _gaussian_kernel1d(sigma, radius):
+    x = jnp.arange(-radius, radius + 1, dtype=jnp.float32)
+    k = jnp.exp(-0.5 * (x / sigma) ** 2)
+    return k / jnp.sum(k)
+
+
+def _sep_conv2d(img, kx, ky):
+    """Separable 2-D convolution with SAME padding. img: (H, W)."""
+    img4 = img[None, None]
+    rx = (len(kx) - 1) // 2
+    ry = (len(ky) - 1) // 2
+    out = jax.lax.conv_general_dilated(
+        img4, kx[None, None, None, :], (1, 1), [(0, 0), (rx, rx)],
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+    )
+    out = jax.lax.conv_general_dilated(
+        out, ky[None, None, :, None], (1, 1), [(ry, ry), (0, 0)],
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+    )
+    return out[0, 0]
+
+
+def _hessian_response(img, sigma):
+    """Determinant-of-Hessian response at scale sigma (scale-normalized)."""
+    radius = max(int(3.0 * sigma + 0.5), 1)
+    g = _gaussian_kernel1d(sigma, radius)
+    x = jnp.arange(-radius, radius + 1, dtype=jnp.float32)
+    # Gaussian derivative kernels.
+    g1 = -(x / (sigma**2)) * g
+    g2 = ((x**2 - sigma**2) / (sigma**4)) * g
+    Lxx = _sep_conv2d(img, g2, g)
+    Lyy = _sep_conv2d(img, g, g2)
+    Lxy = _sep_conv2d(img, g1, g1)
+    det = Lxx * Lyy - (0.9 * Lxy) ** 2
+    return det * sigma**4  # scale normalization
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "num_octaves", "num_octave_layers", "max_features", "grid_size",
+    ),
+)
+def detect_and_describe(
+    img,
+    hessian_threshold=100.0,
+    num_octaves=4,
+    num_octave_layers=3,
+    max_features=2048,
+    grid_size=3,
+):
+    """(H, W) grayscale [0, 255] -> (keypoints (K, 2), scales (K,),
+    descriptors (K, 128), mask (K,)).
+
+    K = max_features. Spatial-uniformity: the response map is divided into
+    a grid_size x grid_size grid and each cell receives an equal share of
+    the keypoint budget (counterpart of the reference's adaptive per-cell
+    thresholds, feature.h:24-31).
+    """
+    H, W = img.shape
+    img = img.astype(jnp.float32) / 255.0
+
+    sigmas = []
+    for o in range(num_octaves):
+        for l in range(num_octave_layers):
+            sigmas.append(1.6 * (2.0**o) * (2.0 ** (l / num_octave_layers)))
+    responses = jnp.stack([_hessian_response(img, s) for s in sigmas])  # (S, H, W)
+
+    # 3x3x3 non-max suppression.
+    def shift(x, dy, dx, ds):
+        return jnp.roll(x, (ds, dy, dx), axis=(0, 1, 2))
+
+    is_max = jnp.ones_like(responses, dtype=bool)
+    for ds in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                if ds == 0 and dy == 0 and dx == 0:
+                    continue
+                is_max = is_max & (responses >= shift(responses, dy, dx, ds))
+    # Normalized threshold comparable to SURF's hessianThreshold scalingwise.
+    thr = hessian_threshold * 1e-6
+    is_max = is_max & (responses > thr)
+    # Suppress borders.
+    border = 8
+    yy = jnp.arange(H)
+    xx = jnp.arange(W)
+    border_mask = (
+        (yy[:, None] >= border) & (yy[:, None] < H - border)
+        & (xx[None, :] >= border) & (xx[None, :] < W - border)
+    )
+    is_max = is_max & border_mask[None]
+
+    score = jnp.where(is_max, responses, -jnp.inf)  # (S, H, W)
+    score_flat = jnp.max(score, axis=0)  # best scale per pixel
+    best_scale = jnp.argmax(score, axis=0)
+
+    # Per-cell top-k.
+    per_cell = max_features // (grid_size * grid_size)
+    cell_h = H // grid_size
+    cell_w = W // grid_size
+    kps, scs, scores_out = [], [], []
+    for cy in range(grid_size):
+        for cx in range(grid_size):
+            y0, x0 = cy * cell_h, cx * cell_w
+            h = cell_h if cy < grid_size - 1 else H - y0
+            w = cell_w if cx < grid_size - 1 else W - x0
+            cell = jax.lax.dynamic_slice(score_flat, (y0, x0), (cell_h, cell_w))
+            cell_scale = jax.lax.dynamic_slice(best_scale, (y0, x0), (cell_h, cell_w))
+            flat = cell.reshape(-1)
+            vals, idx = jax.lax.top_k(flat, per_cell)
+            py = idx // cell_w + y0
+            px = idx % cell_w + x0
+            kps.append(jnp.stack([px, py], axis=-1))
+            scs.append(cell_scale.reshape(-1)[idx])
+            scores_out.append(vals)
+    keypoints = jnp.concatenate(kps).astype(jnp.float32)  # (K', 2) as (x, y)
+    scale_idx = jnp.concatenate(scs)
+    scores = jnp.concatenate(scores_out)
+    mask = jnp.isfinite(scores) & (scores > thr)
+
+    sigmas_arr = jnp.asarray(sigmas, jnp.float32)
+    kp_sigma = sigmas_arr[scale_idx]
+
+    desc = _describe(img, keypoints, kp_sigma)
+    K = keypoints.shape[0]
+    if K < max_features:
+        pad = max_features - K
+        keypoints = jnp.concatenate([keypoints, jnp.zeros((pad, 2), jnp.float32)])
+        kp_sigma = jnp.concatenate([kp_sigma, jnp.ones((pad,), jnp.float32)])
+        desc = jnp.concatenate([desc, jnp.zeros((pad, 128), jnp.float32)])
+        mask = jnp.concatenate([mask, jnp.zeros((pad,), bool)])
+    return keypoints, kp_sigma, desc, mask
+
+
+def _describe(img, keypoints, sigmas, cells=4, samples_per_cell=5):
+    """Upright SURF-128 descriptors via bilinear gradient sampling."""
+    H, W = img.shape
+    # Precompute image gradients once.
+    gx = (jnp.roll(img, -1, axis=1) - jnp.roll(img, 1, axis=1)) * 0.5
+    gy = (jnp.roll(img, -1, axis=0) - jnp.roll(img, 1, axis=0)) * 0.5
+
+    n = cells * samples_per_cell  # 20 samples across the window
+    # Sample offsets in units of sigma: window = 20 sigma.
+    offs = (jnp.arange(n, dtype=jnp.float32) - (n - 1) / 2.0)  # -9.5..9.5
+
+    def sample(grid_img, ys, xs):
+        """Bilinear interpolation at float coords."""
+        y0 = jnp.clip(jnp.floor(ys).astype(jnp.int32), 0, H - 2)
+        x0 = jnp.clip(jnp.floor(xs).astype(jnp.int32), 0, W - 2)
+        fy = jnp.clip(ys - y0, 0.0, 1.0)
+        fx = jnp.clip(xs - x0, 0.0, 1.0)
+        v00 = grid_img[y0, x0]
+        v01 = grid_img[y0, x0 + 1]
+        v10 = grid_img[y0 + 1, x0]
+        v11 = grid_img[y0 + 1, x0 + 1]
+        return (
+            v00 * (1 - fy) * (1 - fx)
+            + v01 * (1 - fy) * fx
+            + v10 * fy * (1 - fx)
+            + v11 * fy * fx
+        )
+
+    # Gaussian weighting over the window.
+    wy = jnp.exp(-0.5 * (offs / (n / 4.0)) ** 2)
+    weight = wy[:, None] * wy[None, :]
+
+    def one(kp, sigma):
+        step = sigma  # sample spacing = sigma
+        ys = kp[1] + offs * step
+        xs = kp[0] + offs * step
+        Y = jnp.broadcast_to(ys[:, None], (n, n))
+        X = jnp.broadcast_to(xs[None, :], (n, n))
+        dx = sample(gx, Y, X) * weight
+        dy = sample(gy, Y, X) * weight
+        # 4x4 cells, each (samples_per_cell x samples_per_cell).
+        dx_c = dx.reshape(cells, samples_per_cell, cells, samples_per_cell)
+        dy_c = dy.reshape(cells, samples_per_cell, cells, samples_per_cell)
+        feats = []
+        for pos_mask_src in (dy_c >= 0, dy_c < 0):
+            # SURF-128: statistics of dx split by sign of dy, and vice versa.
+            m = pos_mask_src.astype(jnp.float32)
+            feats.append(jnp.sum(dx_c * m, axis=(1, 3)))
+            feats.append(jnp.sum(jnp.abs(dx_c) * m, axis=(1, 3)))
+        for pos_mask_src in (dx_c >= 0, dx_c < 0):
+            m = pos_mask_src.astype(jnp.float32)
+            feats.append(jnp.sum(dy_c * m, axis=(1, 3)))
+            feats.append(jnp.sum(jnp.abs(dy_c) * m, axis=(1, 3)))
+        d = jnp.stack(feats, axis=-1).reshape(-1)  # (4*4*8 = 128,)
+        return d / jnp.maximum(jnp.linalg.norm(d), 1e-8)
+
+    return jax.vmap(one)(keypoints, sigmas)
+
+
+def detect_image(img_array, hessian_threshold=100.0, num_octaves=4,
+                 num_octave_layers=3, max_features=2048):
+    """Numpy grayscale/RGB image -> (keypoints (N, 2), descriptors (N, 128))."""
+    img = np.asarray(img_array)
+    if img.ndim == 3:
+        img = img.mean(axis=-1)
+    kp, sig, desc, mask = detect_and_describe(
+        jnp.asarray(img, jnp.float32),
+        hessian_threshold=hessian_threshold,
+        num_octaves=num_octaves,
+        num_octave_layers=num_octave_layers,
+        max_features=max_features,
+    )
+    m = np.asarray(mask)
+    return np.asarray(kp)[m], np.asarray(desc)[m]
+
+
+def detect_image_file(path, **kwargs):
+    from PIL import Image
+
+    img = np.asarray(Image.open(path).convert("L"), np.float32)
+    return detect_image(img, **kwargs)

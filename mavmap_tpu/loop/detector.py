@@ -1,0 +1,106 @@
+"""LoopDetector: TF-IDF image retrieval over vocabulary-tree words.
+
+TPU-native counterpart of reference src/loop/{detection,voc_tree_inv_file,
+voc_tree_database}.{h,cc}. The reference maintains block-chained posting
+lists with idf-weighted L2 scoring (voc_tree_inv_file.cc:86-328); here the
+database is a dense bag-of-words matrix (images x words, f32) and a query
+is ONE idf-weighted matmul — the "inverted file as masked matmul" design
+from SURVEY §7. Scores follow the reference's convention: 0 = identical,
+2 = orthogonal (squared L2 distance of L2-normalized tf-idf vectors,
+voc_tree_inv_file.h:9-44).
+
+Capacity-bounded: the database grows in fixed increments to keep the
+scoring matmul shape bucketed.
+"""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+MAX_NUM_VISUAL_WORDS = 5000  # per image, reference sequential_mapper.h:53
+
+
+class LoopDetector:
+    def __init__(self, voc_tree, capacity_step=256):
+        self.voc_tree = voc_tree
+        self.num_words = voc_tree.num_words
+        self.capacity_step = capacity_step
+        self._bow = np.zeros((0, self.num_words), np.float32)  # raw tf counts
+        self._image_idxs = []
+        self._idx_to_slot = {}
+
+    @property
+    def num_images(self):
+        return len(self._image_idxs)
+
+    def _quantize(self, features):
+        desc = features.descriptors[: MAX_NUM_VISUAL_WORDS]
+        mask = features.mask[: MAX_NUM_VISUAL_WORDS]
+        words = np.asarray(self.voc_tree.quantize(desc, mask))
+        return words[words >= 0]
+
+    def _bow_of(self, words):
+        bow = np.zeros((self.num_words,), np.float32)
+        np.add.at(bow, words, 1.0)
+        return bow
+
+    def add_image(self, image_idx, features):
+        """Quantize and store an image (reference detection.cc:36-61)."""
+        if image_idx in self._idx_to_slot:
+            return
+        words = self._quantize(features)
+        bow = self._bow_of(words)
+        slot = len(self._image_idxs)
+        if slot >= len(self._bow):
+            extra = np.zeros((self.capacity_step, self.num_words), np.float32)
+            self._bow = np.concatenate([self._bow, extra], axis=0)
+        self._bow[slot] = bow
+        self._idx_to_slot[image_idx] = slot
+        self._image_idxs.append(image_idx)
+
+    def query(self, features, num_images=30, use_idf=True):
+        """Top-N most similar stored images.
+
+        Returns (image_idxs (N,), scores (N,)) with scores in [0, 2],
+        smaller = more similar (reference detection.cc:64-93,
+        voc_tree_inv_file.cc:243-328).
+        """
+        n = self.num_images
+        if n == 0:
+            return np.zeros(0, np.int64), np.zeros(0, np.float32)
+        words = self._quantize(features)
+        qbow = self._bow_of(words)
+        db = self._bow[:n]
+        if use_idf:
+            df = np.sum(db > 0, axis=0).astype(np.float32)
+            idf = np.log(np.maximum(n, 1) / np.maximum(df, 1.0)) + 1e-6
+        else:
+            idf = np.ones(self.num_words, np.float32)
+
+        scores = np.asarray(
+            _score(jnp.asarray(qbow), jnp.asarray(db), jnp.asarray(idf))
+        )
+        k = min(num_images, n)
+        top = np.argsort(scores)[:k]
+        return np.asarray(self._image_idxs)[top], scores[top]
+
+
+@jax.jit
+def _score(qbow, db, idf):
+    """Squared L2 distance between L2-normalized idf-weighted tf vectors.
+
+    One (I, W) x (W,) matvec on the MXU; bf16 inputs are accurate enough
+    for retrieval ranking, accumulation in f32.
+    """
+    q = qbow * idf
+    q = q / jnp.maximum(jnp.linalg.norm(q), 1e-12)
+    d = db * idf[None, :]
+    d = d / jnp.maximum(jnp.linalg.norm(d, axis=1, keepdims=True), 1e-12)
+    cos = jax.lax.dot_general(
+        d.astype(jnp.bfloat16),
+        q.astype(jnp.bfloat16),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    return 2.0 - 2.0 * cos

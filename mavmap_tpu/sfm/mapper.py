@@ -335,6 +335,144 @@ class SequentialMapper:
         )
         return True
 
+    # --------------------------------------------------------- loop closure
+
+    def find_similar_images(self, image_idx, num_images=30):
+        """Most similar processed images via the loop detector
+        (reference sequential_mapper.cc:2086-2103)."""
+        if self.loop_detector is None:
+            return np.zeros(0, np.int64), np.zeros(0, np.float32)
+        f = self._features(image_idx)
+        return self.loop_detector.query(f, num_images=num_images)
+
+    def detect_loop(self, image_idx, num_images=30, num_nh_images=15,
+                    nh_distance=30, options=None, verbose=False):
+        """Try to close loops against the most similar processed images.
+
+        Mirrors reference detect_loop (sequential_mapper.cc:1161-1215):
+        candidates within `nh_distance` frames count against the
+        `num_nh_images` neighborhood quota. Returns #successful closures.
+        """
+        if self.loop_detector is None:
+            return 0
+        options = options or SequentialMapperOptions()
+        idxs, scores = self.find_similar_images(image_idx, num_images)
+        num_successes = 0
+        num_nh = 0
+        for other in idxs:
+            other = int(other)
+            distance = abs(other - image_idx)
+            if other == image_idx or self.is_pair_processed(image_idx, other):
+                continue
+            if not (num_nh < num_nh_images or distance > nh_distance):
+                continue
+            if not (self.is_image_processed(image_idx)
+                    or self.is_image_processed(other)):
+                continue
+            if self.process(image_idx, other, options):
+                if verbose:
+                    print(f"Closed loop to image #{other}")
+                num_successes += 1
+                if distance <= nh_distance:
+                    num_nh += 1
+        return num_successes
+
+    # ---------------------------------------------------------------- merge
+
+    def merge(self, other, num_similar_images=15, num_skip_images=5,
+              options=None, verbose=False):
+        """Merge `other` into this mapper via cross-sequence loop closures +
+        similarity alignment (reference sequential_mapper.cc:1218-1481).
+
+        Returns True on success; on failure this mapper keeps extra loop
+        closures but no cloned state.
+        """
+        import jax.numpy as jnp
+        from ..ops.rotation import rotmat_from_rvec
+        from ..ops.similarity import solve_umeyama, transform_points, transform_pose
+
+        options = options or SequentialMapperOptions()
+        before_common = [
+            idx for idx in other.image_idx_to_id if self.is_image_processed(idx)
+        ]
+
+        # Try to close cross-loops on every num_skip_images-th other image.
+        other_idxs = sorted(other.image_idx_to_id.keys())
+        for k, idx in enumerate(other_idxs):
+            if num_skip_images and k % num_skip_images != 0:
+                continue
+            sim_idxs, _ = self.find_similar_images(idx, num_similar_images)
+            for cand in sim_idxs:
+                cand = int(cand)
+                if cand == idx or self.is_pair_processed(idx, cand):
+                    continue
+                self.process(idx, cand, options)
+
+        # Images now processed in both mappers anchor the alignment.
+        common = [
+            idx for idx in other.image_idx_to_id if self.is_image_processed(idx)
+        ]
+        if len(common) < 3:
+            return False
+
+        # Similarity transform other -> this from common camera centers.
+        def centers(mapper, idxs):
+            ids = [mapper.image_idx_to_id[i] for i in idxs]
+            rv = mapper.store.image_rvecs[ids]
+            tv = mapper.store.image_tvecs[ids]
+            R = np.asarray(rotmat_from_rvec(jnp.asarray(rv, jnp.float32)))
+            return -np.einsum("nij,nj->ni", R.transpose(0, 2, 1), tv)
+
+        src = centers(other, common)
+        dst = centers(self, common)
+        T = solve_umeyama(jnp.asarray(src, jnp.float32), jnp.asarray(dst, jnp.float32))
+
+        # Clone other's images with transformed poses.
+        for idx in other_idxs:
+            if self.is_image_processed(idx):
+                continue
+            oid = other.image_idx_to_id[idx]
+            rv, tv = other.store.get_pose(oid)
+            nrv, ntv = transform_pose(
+                T, jnp.asarray(rv, jnp.float32), jnp.asarray(tv, jnp.float32)
+            )
+            new_id = self._add_image_to_store(idx)
+            self.store.set_pose(new_id, np.asarray(nrv), np.asarray(ntv))
+
+        # Clone other's tracks (transformed points).
+        xyz_all = np.asarray(
+            transform_points(T, jnp.asarray(other.store.point3D_xyz, jnp.float32))
+        )
+        for pid, track in other.store.tracks.items():
+            if not other.store.point3D_valid[pid] or len(track) < 2:
+                continue
+            obs = []
+            for p2d in track:
+                o_img_id = int(other.store.point2D_image[p2d])
+                o_start, _ = other.store.image_point2D_start[o_img_id]
+                row = int(p2d) - o_start
+                idx = other.image_id_to_idx[o_img_id]
+                my_id = self.image_idx_to_id[idx]
+                obs.append(self.store.point2D_ids_of_image(my_id)[row])
+            new_pid = None
+            for a, b in zip(obs[:-1], obs[1:]):
+                new_pid = self.store.add_correspondence(a, b)
+            if (
+                new_pid is not None
+                and other.store.point3D_tri[pid]
+                and self.store.point3D_valid[new_pid]
+                and not self.store.point3D_tri[new_pid]
+            ):
+                self.store.set_point3D(new_pid, xyz_all[pid])
+
+        self.pair_graph |= other.pair_graph
+        if verbose:
+            print(
+                f"Merged mappers with {len(common)} common images "
+                f"({len(before_common)} before closure)"
+            )
+        return True
+
     # ------------------------------------------------------------- BA bridge
 
     def adjust_bundle(

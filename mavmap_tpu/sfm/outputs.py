@@ -1,0 +1,162 @@
+"""Output writers: imagedataout.txt, point cloud text, PLY, VRML.
+
+Counterpart of reference sequential_mapper.cc:1485-1955 (write_image_data,
+write_point_cloud_data, write_*_vrml). The VRML camera-frustum and point
+writers mirror the reference's outputs; a binary-free PLY writer is added
+as the modern equivalent.
+"""
+
+import numpy as np
+
+
+def _world_poses(mapper, image_idxs=None):
+    """(idx, euler rx/ry/rz, camera center) per registered image."""
+    import jax.numpy as jnp
+    from ..ops.rotation import rotmat_from_rvec, euler_from_rotmat
+
+    out = []
+    ids = [
+        (mapper.image_id_to_idx[iid], iid)
+        for iid in range(mapper.store.num_images)
+        if mapper.store.image_registered[iid]
+    ]
+    ids.sort()
+    for idx, iid in ids:
+        if image_idxs is not None and idx not in image_idxs:
+            continue
+        rv = mapper.store.image_rvecs[iid]
+        tv = mapper.store.image_tvecs[iid]
+        R = np.asarray(rotmat_from_rvec(jnp.asarray(rv, jnp.float32)))
+        C = -R.T @ tv
+        rx, ry, rz = (
+            float(v) for v in euler_from_rotmat(jnp.asarray(R.T, jnp.float32))
+        )
+        out.append((idx, iid, (rx, ry, rz), C))
+    return out
+
+
+def write_image_data(mapper, records, path):
+    """imagedataout.txt with estimated world poses
+    (reference sequential_mapper.cc:1485-1540)."""
+    from ..models import camera as cam
+
+    with open(path, "w") as f:
+        f.write(
+            "# BASENAME, ROLL, PITCH, YAW, LAT, LON, ALT, LOCAL_HEIGHT, "
+            "TX, TY, TZ, CAM_IDX, CAM_MODEL, CAM_PARAMS[]\n"
+        )
+        for idx, iid, (rx, ry, rz), C in _world_poses(mapper):
+            rec = records[idx]
+            n_params = cam.CAMERA_MODEL_NUM_PARAMS[rec.camera_model]
+            params = ", ".join(f"{p:.12g}" for p in rec.camera_params[:n_params])
+            f.write(
+                f"{rec.name}, {rx:.12g}, {ry:.12g}, {rz:.12g}, "
+                f"{rec.lat:.12g}, {rec.lon:.12g}, {rec.alt:.12g}, "
+                f"{rec.local_height:.12g}, "
+                f"{C[0]:.12g}, {C[1]:.12g}, {C[2]:.12g}, "
+                f"{rec.camera_idx}, {rec.camera_model}, {params}\n"
+            )
+
+
+def _collect_points(mapper, min_track_len=2, max_error=None):
+    pts, errs, lens = [], [], []
+    for pid, track in mapper.store.tracks.items():
+        if not mapper.store.point3D_valid[pid] or not mapper.store.point3D_tri[pid]:
+            continue
+        if len(track) < min_track_len:
+            continue
+        err = mapper.store.point3D_error[pid]
+        if max_error is not None and err >= 0 and err > max_error:
+            continue
+        pts.append(mapper.store.point3D_xyz[pid])
+        errs.append(err)
+        lens.append(len(track))
+    if not pts:
+        return np.zeros((0, 3)), np.zeros(0), np.zeros(0, int)
+    return np.asarray(pts), np.asarray(errs), np.asarray(lens, int)
+
+
+def write_point_cloud_data(mapper, path, min_track_len=2, max_error=None):
+    """Text point cloud: X, Y, Z, TRACK_LEN, MEAN_RESIDUAL
+    (reference sequential_mapper.cc:1543-1643; colors omitted — the TPU
+    build does not decode images on the output path)."""
+    pts, errs, lens = _collect_points(mapper, min_track_len, max_error)
+    with open(path, "w") as f:
+        f.write("# X, Y, Z, TRACK_LEN, MEAN_RESIDUAL\n")
+        for p, e, l in zip(pts, errs, lens):
+            f.write(f"{p[0]:.6f}, {p[1]:.6f}, {p[2]:.6f}, {l}, {e:.6f}\n")
+
+
+def write_point_cloud_ply(mapper, path, min_track_len=2, max_error=None):
+    """Binary-free PLY point cloud."""
+    pts, errs, lens = _collect_points(mapper, min_track_len, max_error)
+    with open(path, "w") as f:
+        f.write(
+            "ply\nformat ascii 1.0\n"
+            f"element vertex {len(pts)}\n"
+            "property float x\nproperty float y\nproperty float z\n"
+            "property float error\nproperty int track_len\n"
+            "end_header\n"
+        )
+        for p, e, l in zip(pts, errs, lens):
+            f.write(f"{p[0]:.6f} {p[1]:.6f} {p[2]:.6f} {e:.6f} {l}\n")
+
+
+def write_camera_models_vrml(mapper, path, scale=1.0):
+    """VRML camera frusta (reference sequential_mapper.cc:1646-1787)."""
+    import jax.numpy as jnp
+    from ..ops.rotation import rotmat_from_rvec
+
+    with open(path, "w") as f:
+        f.write("#VRML V2.0 utf8\n")
+        for idx, iid, _, C in _world_poses(mapper):
+            rv = mapper.store.image_rvecs[iid]
+            R = np.asarray(rotmat_from_rvec(jnp.asarray(rv, jnp.float32)))
+            # Frustum corners in camera frame.
+            s = scale
+            corners = np.array(
+                [[-s, -s, 2 * s], [s, -s, 2 * s], [s, s, 2 * s], [-s, s, 2 * s]]
+            )
+            world = corners @ R + C  # R^T @ c per corner
+            f.write("Shape { appearance Appearance { material Material "
+                    "{ diffuseColor 1 0 0 } } geometry IndexedLineSet {\n")
+            f.write("coord Coordinate { point [\n")
+            f.write(f"{C[0]:.4f} {C[1]:.4f} {C[2]:.4f},\n")
+            for w in world:
+                f.write(f"{w[0]:.4f} {w[1]:.4f} {w[2]:.4f},\n")
+            f.write("] }\ncoordIndex [\n")
+            f.write("0,1,-1, 0,2,-1, 0,3,-1, 0,4,-1, 1,2,3,4,1,-1\n] } }\n")
+
+
+def write_point_cloud_vrml(mapper, path, min_track_len=2, max_error=None):
+    """VRML point cloud (reference sequential_mapper.cc:1790-1848)."""
+    pts, errs, lens = _collect_points(mapper, min_track_len, max_error)
+    with open(path, "w") as f:
+        f.write("#VRML V2.0 utf8\n")
+        f.write("Shape { geometry PointSet {\ncoord Coordinate { point [\n")
+        for p in pts:
+            f.write(f"{p[0]:.4f} {p[1]:.4f} {p[2]:.4f},\n")
+        f.write("] } } }\n")
+
+
+def write_camera_connections_vrml(mapper, path):
+    """VRML co-visibility connections between processed pairs
+    (reference sequential_mapper.cc:1851-1955)."""
+    import jax.numpy as jnp
+    from ..ops.rotation import rotmat_from_rvec
+
+    centers = {}
+    for idx, iid, _, C in _world_poses(mapper):
+        centers[idx] = C
+    with open(path, "w") as f:
+        f.write("#VRML V2.0 utf8\n")
+        f.write("Shape { geometry IndexedLineSet {\ncoord Coordinate { point [\n")
+        idx_to_row = {}
+        for i, (idx, C) in enumerate(sorted(centers.items())):
+            idx_to_row[idx] = i
+            f.write(f"{C[0]:.4f} {C[1]:.4f} {C[2]:.4f},\n")
+        f.write("] }\ncoordIndex [\n")
+        for a, b in sorted(mapper.pair_graph):
+            if a in idx_to_row and b in idx_to_row:
+                f.write(f"{idx_to_row[a]},{idx_to_row[b]},-1,\n")
+        f.write("] } }\n")

@@ -1,0 +1,469 @@
+"""End-to-end mapping pipeline — counterpart of reference src/mapper.cc.
+
+Implements the orchestration loop (mapper.cc:563-1257): initial-pair
+search, sequential processing with frame skipping, loop-detection rescue,
+sliding-window local BA, periodic loop detection, sub-map restart on
+unrecoverable failure, post-pass back-fill of skipped frames, global BA per
+sub-map, greedy pairwise merging, ground-control-point geo-registration,
+point-cloud filtering, and output writing.
+"""
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..ba import BAOptions
+from ..utils.mathx import rel2abs_threshold
+from .mapper import SequentialMapper
+from .options import SequentialMapperOptions
+
+
+@dataclass
+class PipelineOptions:
+    """CLI-level options (names mirror mapper.cc flags, SURVEY §5.6)."""
+
+    start_image_idx: int = 0
+    end_image_idx: int = -1
+    first_image_idx: int = -1   # initial pair: first image (default start)
+    second_image_idx: int = -1  # initial pair: second image (default auto)
+    max_subsequent_trials: int = 30
+    local_ba_window_size: int = 8
+    loop_detection: bool = True
+    loop_detection_period: int = 20
+    loop_detection_num_images: int = 30
+    merge_num_skip_images: int = 5
+    min_track_len: int = 3
+    final_cost_threshold: float = 2.0
+    init_max_homography_inliers: float = 0.7
+    init_tri_min_angle: float = 10.0
+    tri_min_angle: float = 1.0
+    constrain_rotation: bool = False
+    constrain_rotation_weight: float = 0.0
+    use_control_points: bool = False
+    filter_max_error: float = 0.0
+    process_prev_prev: bool = False
+    ba_local_max_iters: int = 15
+    ba_global_max_iters: int = 50
+    verbose: bool = True
+
+
+def _mapper_options(opts: PipelineOptions, initial=False):
+    return SequentialMapperOptions(
+        final_cost_threshold=opts.final_cost_threshold,
+        tri_min_angle=opts.init_tri_min_angle if initial else opts.tri_min_angle,
+        max_homography_inliers=opts.init_max_homography_inliers if initial else 0.7,
+        min_track_len=2 if initial else opts.min_track_len,
+    )
+
+
+@dataclass
+class PipelineResult:
+    mappers: list
+    records: list = None
+    control_point_results: list = None
+
+    @property
+    def main_mapper(self):
+        return max(self.mappers, key=lambda m: m.num_proc_images)
+
+    def num_registered(self):
+        return sum(m.num_proc_images for m in self.mappers)
+
+
+def _local_ba(mapper, opts: PipelineOptions, rot_priors=None):
+    reg = sorted(mapper.image_idx_to_id.keys(),
+                 key=lambda i: mapper.image_idx_to_id[i])
+    window = reg[-opts.local_ba_window_size:]
+    if len(window) <= 2:
+        return
+    mapper.adjust_bundle(
+        window[2:], window[:2],
+        ba_options=BAOptions(max_num_iterations=opts.ba_local_max_iters,
+                             min_track_len=opts.min_track_len),
+        rot_priors=rot_priors if opts.constrain_rotation else None,
+        rot_prior_weight=opts.constrain_rotation_weight,
+    )
+
+
+def _global_ba(mapper, opts: PipelineOptions, rot_priors=None,
+               update_errors=False, gcp_point_ids=()):
+    return mapper.adjust_global_bundle(
+        BAOptions(max_num_iterations=opts.ba_global_max_iters,
+                  min_track_len=opts.min_track_len,
+                  update_point3D_errors=update_errors),
+        rot_priors=rot_priors if opts.constrain_rotation else None,
+        rot_prior_weight=opts.constrain_rotation_weight,
+        gcp_point_ids=gcp_point_ids,
+    )
+
+
+def process_remaining_images(mapper, start_idx, end_idx, opts: PipelineOptions):
+    """Back-fill skipped frames against their nearest processed neighbors
+    (reference mapper.cc:221-299)."""
+    seq_opts = _mapper_options(opts)
+    num = 0
+    processed = sorted(mapper.image_idx_to_id.keys())
+    if not processed:
+        return 0
+    for idx in range(start_idx, end_idx + 1):
+        if mapper.is_image_processed(idx):
+            continue
+        # Nearest processed neighbors below/above.
+        below = [p for p in processed if p < idx]
+        above = [p for p in processed if p > idx]
+        candidates = []
+        if below:
+            candidates.append(below[-1])
+        if above:
+            candidates.append(above[0])
+        for cand in candidates:
+            if mapper.process(idx, cand, seq_opts):
+                num += 1
+                processed = sorted(mapper.image_idx_to_id.keys())
+                if opts.verbose:
+                    print(f"Processed remaining image #{idx} against #{cand}")
+                break
+    return num
+
+
+def merge_mappers(mappers, opts: PipelineOptions):
+    """Greedy pairwise merge, always smaller into larger
+    (reference mapper.cc:302-379)."""
+    seq_opts = _mapper_options(opts)
+    mappers = list(mappers)
+    merged = True
+    while merged and len(mappers) > 1:
+        merged = False
+        mappers.sort(key=lambda m: -m.num_proc_images)
+        for i in range(len(mappers)):
+            for j in range(len(mappers) - 1, i, -1):
+                big, small = mappers[i], mappers[j]
+                if big.merge(small, num_similar_images=opts.loop_detection_num_images,
+                             num_skip_images=opts.merge_num_skip_images,
+                             options=seq_opts, verbose=opts.verbose):
+                    del mappers[j]
+                    merged = True
+            if merged:
+                break
+    return mappers
+
+
+def filter_point_cloud(mapper, max_error):
+    """Delete 3-D points with mean reprojection error above threshold
+    (reference mapper.cc:382-402). Requires point errors from a prior BA
+    with update_point3D_errors."""
+    doomed = [
+        pid
+        for pid in list(mapper.store.tracks.keys())
+        if mapper.store.point3D_valid[pid]
+        and mapper.store.point3D_error[pid] > max_error
+    ]
+    for pid in doomed:
+        mapper.store.delete_point3D(pid)
+    return len(doomed)
+
+
+def apply_control_points(mapper, control_points, opts: PipelineOptions):
+    """Geo-registration with ground control points
+    (reference mapper.cc:405-560).
+
+    1. Triangulate each control point from its observations in processed
+       images (multiview DLT with current poses).
+    2. Umeyama model->GCP-frame similarity from the FIXED control points.
+    3. Transform all poses and points.
+    4. Global BA with fixed GCPs pinned (their observations as extra
+       residual blocks).
+    Returns [(cp, est_xyz, track_len, mean_residual)].
+    """
+    import jax.numpy as jnp
+    from ..ba import build_problem, bundle_adjust, BAOptions as BAO
+    from ..ba import BA_POSE_FIXED
+    from ..models import camera as cam
+    from ..ops.projection import compose_proj_matrix, calc_reproj_errors
+    from ..ops.similarity import solve_umeyama, transform_points, transform_pose
+    from ..ops.triangulation import triangulate_points_multiview
+
+    # --- triangulate control points from current model
+    estimates = []
+    for cp in control_points:
+        projs, obs_n, obs_px, imgs = [], [], [], []
+        for (image_idx, x, y) in cp.points2D:
+            if not mapper.is_image_processed(image_idx):
+                continue
+            iid = mapper.image_idx_to_id[image_idx]
+            rv, tv = mapper.store.get_pose(iid)
+            projs.append(
+                np.asarray(
+                    compose_proj_matrix(
+                        jnp.asarray(rv, jnp.float32), jnp.asarray(tv, jnp.float32)
+                    )
+                )
+            )
+            ci = mapper.image_cameras[image_idx]
+            n = cam.image2normalized(
+                jnp.asarray([x, y], jnp.float32),
+                int(mapper.cam_models[ci]),
+                jnp.asarray(mapper.cam_params[ci]),
+            )
+            obs_n.append(np.asarray(n))
+            obs_px.append((x, y))
+            imgs.append(image_idx)
+        if len(projs) < 2:
+            estimates.append(None)
+            continue
+        X = triangulate_points_multiview(
+            jnp.asarray(np.stack(projs), jnp.float32),
+            jnp.asarray(np.stack(obs_n), jnp.float32),
+            jnp.ones(len(projs), bool),
+        )
+        estimates.append((np.asarray(X), imgs, obs_px, obs_n))
+
+    fixed_src, fixed_dst = [], []
+    for cp, est in zip(control_points, estimates):
+        if cp.fixed and est is not None:
+            fixed_src.append(est[0])
+            fixed_dst.append(cp.xyz)
+    if len(fixed_src) >= 3:
+        T = solve_umeyama(
+            jnp.asarray(np.stack(fixed_src), jnp.float32),
+            jnp.asarray(np.stack(fixed_dst), jnp.float32),
+        )
+        # Transform the whole model.
+        reg_ids = [iid for iid in range(mapper.store.num_images)
+                   if mapper.store.image_registered[iid]]
+        for iid in reg_ids:
+            rv, tv = mapper.store.get_pose(iid)
+            nrv, ntv = transform_pose(
+                T, jnp.asarray(rv, jnp.float32), jnp.asarray(tv, jnp.float32)
+            )
+            mapper.store.image_rvecs[iid] = np.asarray(nrv)
+            mapper.store.image_tvecs[iid] = np.asarray(ntv)
+        valid = mapper.store.point3D_valid
+        mapper.store.point3D_xyz[valid] = np.asarray(
+            transform_points(
+                T, jnp.asarray(mapper.store.point3D_xyz[valid], jnp.float32)
+            )
+        )
+        # Re-triangulate estimates in the new frame.
+        for k, est in enumerate(estimates):
+            if est is not None:
+                X, imgs, obs_px, obs_n = est
+                X = np.asarray(
+                    transform_points(T, jnp.asarray(X, jnp.float32))
+                )
+                estimates[k] = (X, imgs, obs_px, obs_n)
+
+    # --- global BA with GCP residuals appended
+    (image_ids, poses, point_ids, points, obs_image, obs_point, obs_cam,
+     obs_xy) = mapper.ba_problem_arrays(min_track_len=opts.min_track_len)
+    id_to_row = {iid: k for k, iid in enumerate(image_ids)}
+    n_pts = len(points)
+    extra_pts, extra_fixed = [], []
+    extra_obs_img, extra_obs_pt, extra_obs_cam, extra_obs_xy = [], [], [], []
+    gcp_rows = []
+    for cp, est in zip(control_points, estimates):
+        if est is None:
+            gcp_rows.append(None)
+            continue
+        X, imgs, obs_px, _ = est
+        row = n_pts + len(extra_pts)
+        gcp_rows.append(row)
+        extra_pts.append(cp.xyz if cp.fixed else X)
+        extra_fixed.append(cp.fixed)
+        for image_idx, (x, y) in zip(imgs, obs_px):
+            iid = mapper.image_idx_to_id[image_idx]
+            extra_obs_img.append(id_to_row[iid])
+            extra_obs_pt.append(row)
+            extra_obs_cam.append(
+                mapper._store_cam_ids[int(mapper.image_cameras[image_idx])]
+            )
+            extra_obs_xy.append((x, y))
+
+    if extra_pts:
+        points = np.concatenate([points, np.asarray(extra_pts, np.float32)])
+        obs_image = np.concatenate([obs_image, np.asarray(extra_obs_img, np.int32)])
+        obs_point = np.concatenate([obs_point, np.asarray(extra_obs_pt, np.int32)])
+        obs_cam = np.concatenate([obs_cam, np.asarray(extra_obs_cam, np.int32)])
+        obs_xy = np.concatenate([obs_xy, np.asarray(extra_obs_xy, np.float32)])
+
+    point_fixed = np.zeros(len(points), bool)
+    for row, fx in zip(range(n_pts, len(points)), extra_fixed):
+        point_fixed[row] = fx
+    # Gauge is provided by the pinned GCPs when >= 3 fixed ones exist;
+    # otherwise fix the first two poses as usual.
+    n_fixed_gcp = int(sum(extra_fixed))
+    if n_fixed_gcp >= 3:
+        states = [0] * len(image_ids)
+    else:
+        states = [BA_POSE_FIXED if k < 1 else 0 for k in range(len(image_ids))]
+        if len(states) > 1:
+            from ..ba import BA_POSE_FIXED_X
+            states[1] = BA_POSE_FIXED_X
+
+    prob = build_problem(
+        poses, points, mapper.store.camera_params.astype(np.float32),
+        mapper.store.camera_models, obs_image, obs_point, obs_cam, obs_xy,
+        pose_states=states, point_fixed=point_fixed,
+    )
+    new_poses, new_points, info = bundle_adjust(
+        prob, BAO(max_num_iterations=opts.ba_global_max_iters,
+                  update_point3D_errors=True,
+                  min_track_len=2)
+    )
+    new_points = np.asarray(new_points)
+    errors = np.asarray(info["point_errors"])
+    mapper.apply_ba_result(image_ids, np.asarray(new_poses), point_ids,
+                           new_points[:n_pts], errors[:n_pts])
+
+    results = []
+    for cp, row in zip(control_points, gcp_rows):
+        if row is None:
+            results.append((cp, None, 0, -1.0))
+        else:
+            results.append(
+                (cp, new_points[row], int((obs_point == row).sum()),
+                 float(errors[row]))
+            )
+    return results
+
+
+def run_pipeline(
+    image_cameras,
+    cam_models,
+    cam_params,
+    provider,
+    opts: PipelineOptions = None,
+    voc_tree=None,
+    rot_priors=None,
+    control_points=None,
+):
+    """The full mapping run (reference mapper.cc main loop, :1014-1245)."""
+    from ..loop import LoopDetector
+
+    opts = opts or PipelineOptions()
+    num_images = len(image_cameras)
+    start = opts.start_image_idx
+    end = opts.end_image_idx if opts.end_image_idx >= 0 else num_images - 1
+    seq_opts = _mapper_options(opts)
+    init_opts = _mapper_options(opts, initial=True)
+
+    def new_mapper(seed):
+        det = LoopDetector(voc_tree) if (voc_tree is not None and opts.loop_detection) else None
+        return SequentialMapper(image_cameras, cam_models, cam_params,
+                                provider, loop_detector=det, seed=seed)
+
+    mappers = [new_mapper(0)]
+    mapper = mappers[0]
+
+    image_idx = opts.first_image_idx if opts.first_image_idx >= 0 else start
+    first_idx = image_idx
+    prev_idx = None
+    num_skipped = 0
+    count_since_loop = 0
+
+    idx = image_idx
+    while idx <= end:
+        if mapper.num_proc_images == 0:
+            # Initial-pair search (mapper.cc:1027-1062).
+            second = opts.second_image_idx if (
+                opts.second_image_idx >= 0 and len(mappers) == 1
+            ) else -1
+            success = False
+            if second >= 0:
+                success = mapper.process_initial(first_idx, second, init_opts)
+                idx = max(first_idx, second)
+            else:
+                j = first_idx + 1
+                while j <= end:
+                    if mapper.process_initial(first_idx, j, init_opts):
+                        success = True
+                        idx = j
+                        break
+                    j += 1
+            if not success:
+                if opts.verbose:
+                    print(f"Failed to find initial pair from #{first_idx}")
+                # The restart frame itself may be bad — advance it and retry
+                # (goes beyond reference mapper.cc, which pins the first
+                # image of a sub-map).
+                first_idx += 1
+                idx = first_idx + 1
+                if first_idx >= end:
+                    break
+                continue
+            if opts.verbose:
+                print(f"Initialized with pair (#{first_idx}, #{idx})")
+            # Initial bundle (mapper.cc:1050-1062).
+            mapper.adjust_bundle(
+                [], [first_idx], [idx],
+                ba_options=BAOptions(max_num_iterations=opts.ba_local_max_iters,
+                                     min_track_len=2),
+            )
+            prev_idx = idx
+            idx += 1
+            continue
+
+        # Sequential step (mapper.cc:1088-1148).
+        success = mapper.process(idx, prev_idx, seq_opts)
+        if not success and opts.loop_detection:
+            # Rescue via loop detection (mapper.cc:1107-1108).
+            success = mapper.detect_loop(
+                idx, num_images=opts.loop_detection_num_images,
+                options=seq_opts) > 0
+        if success:
+            if opts.verbose:
+                print(f"Processed image #{idx} "
+                      f"(points3D={mapper.store.num_points3D})")
+            if opts.process_prev_prev and prev_idx is not None:
+                prev_reg = sorted(mapper.image_idx_to_id.keys())
+                if len(prev_reg) >= 3:
+                    mapper.process(idx, prev_reg[-3], seq_opts)
+            _local_ba(mapper, opts, rot_priors)
+            count_since_loop += 1
+            if opts.loop_detection and count_since_loop >= opts.loop_detection_period:
+                mapper.detect_loop(idx, num_images=opts.loop_detection_num_images,
+                                   options=seq_opts, verbose=opts.verbose)
+                count_since_loop = 0
+            prev_idx = idx
+            num_skipped = 0
+            idx += 1
+        else:
+            num_skipped += 1
+            if num_skipped >= opts.max_subsequent_trials:
+                # Start a new sub-map (mapper.cc:1150-1173).
+                if opts.verbose:
+                    print(f"Starting new sub-map at image #{idx}")
+                mapper = new_mapper(len(mappers))
+                mappers.append(mapper)
+                first_idx = idx
+                num_skipped = 0
+            else:
+                idx += 1
+
+    # Post-pass (mapper.cc:1188-1209).
+    for m in mappers:
+        if m.num_proc_images == 0:
+            continue
+        process_remaining_images(m, start, end, opts)
+        _global_ba(m, opts, rot_priors)
+
+    mappers = [m for m in mappers if m.num_proc_images > 0]
+    if len(mappers) > 1:
+        mappers = merge_mappers(mappers, opts)
+        for m in mappers:
+            process_remaining_images(m, start, end, opts)
+            _global_ba(m, opts, rot_priors)
+
+    cp_results = None
+    main = max(mappers, key=lambda m: m.num_proc_images) if mappers else None
+    if opts.use_control_points and control_points and main is not None:
+        cp_results = apply_control_points(main, control_points, opts)
+
+    if opts.filter_max_error > 0 and main is not None:
+        _global_ba(main, opts, rot_priors, update_errors=True)
+        n = filter_point_cloud(main, opts.filter_max_error)
+        if opts.verbose:
+            print(f"Filtered {n} points with error > {opts.filter_max_error}")
+        _global_ba(main, opts, rot_priors)
+
+    return PipelineResult(mappers=mappers, control_point_results=cp_results)

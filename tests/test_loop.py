@@ -1,0 +1,76 @@
+"""Vocabulary tree + loop detector tests (counterpart of src/loop behavior)."""
+
+import numpy as np
+
+from mavmap_tpu.features.provider import Features
+from mavmap_tpu.loop import LoopDetector, train_voc_tree
+
+
+def _desc(rng, n, d=32):
+    x = rng.normal(size=(n, d)).astype(np.float32)
+    return x / np.linalg.norm(x, axis=-1, keepdims=True)
+
+
+def _features(desc, capacity=256):
+    kp = np.zeros((len(desc), 2), np.float32)
+    return Features.from_arrays(kp, desc, capacity)
+
+
+def test_voctree_quantization_consistency(rng):
+    train = _desc(rng, 4000)
+    tree = train_voc_tree(train, branching=4, depth=3, iters=4, seed=0)
+    assert tree.num_words == 64
+    q = _desc(rng, 100)
+    w1 = np.asarray(tree.quantize(q))
+    w2 = np.asarray(tree.quantize(q))
+    assert (w1 == w2).all()
+    assert (w1 >= 0).all() and (w1 < 64).all()
+    # Perturbed copies should mostly quantize to the same word.
+    q2 = q + rng.normal(size=q.shape).astype(np.float32) * 0.01
+    q2 /= np.linalg.norm(q2, axis=-1, keepdims=True)
+    w3 = np.asarray(tree.quantize(q2))
+    assert (w1 == w3).mean() > 0.8
+
+
+def test_voctree_save_load(rng, tmp_path):
+    from mavmap_tpu.loop import VocTree
+
+    train = _desc(rng, 2000)
+    tree = train_voc_tree(train, branching=4, depth=2, iters=3)
+    path = str(tmp_path / "tree.npz")
+    tree.save(path)
+    tree2 = VocTree.load(path)
+    q = _desc(rng, 50)
+    assert (np.asarray(tree.quantize(q)) == np.asarray(tree2.quantize(q))).all()
+
+
+def test_loop_detector_retrieval(rng):
+    # Images share descriptors with their "revisit" counterpart.
+    train = _desc(rng, 4000)
+    tree = train_voc_tree(train, branching=4, depth=3, iters=4)
+    det = LoopDetector(tree)
+
+    base = [_desc(rng, 150) for _ in range(6)]
+    # Image 6 revisits image 2's content (noisy copy).
+    revisit = base[2] + rng.normal(size=base[2].shape).astype(np.float32) * 0.02
+    revisit /= np.linalg.norm(revisit, axis=-1, keepdims=True)
+
+    for i, d in enumerate(base):
+        det.add_image(i, _features(d))
+    idxs, scores = det.query(_features(revisit), num_images=3)
+    assert idxs[0] == 2
+    assert scores[0] < scores[-1]
+    # Self-similar query of a stored image returns itself first with ~0 score.
+    idxs2, scores2 = det.query(_features(base[4]), num_images=2)
+    assert idxs2[0] == 4
+    assert scores2[0] < 0.2
+
+
+def test_loop_detector_duplicate_add(rng):
+    train = _desc(rng, 1000)
+    tree = train_voc_tree(train, branching=4, depth=2, iters=2)
+    det = LoopDetector(tree)
+    d = _desc(rng, 50)
+    det.add_image(0, _features(d))
+    det.add_image(0, _features(d))
+    assert det.num_images == 1

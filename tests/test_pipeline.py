@@ -1,0 +1,142 @@
+"""Pipeline orchestration tests: loop closure, sub-map restart/merge, GCP,
+outputs, CLI. These mirror the reference driver's behaviors (mapper.cc)."""
+
+import os
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from mavmap_tpu.features import ArrayFeatureProvider
+from mavmap_tpu.loop import train_voc_tree
+from mavmap_tpu.ops.rotation import rotmat_from_rvec
+from mavmap_tpu.sfm.pipeline import PipelineOptions, run_pipeline
+from mavmap_tpu.utils.io import ControlPoint
+from mavmap_tpu.utils.synthetic import ate_rmse, make_uav_scene, render_features
+
+
+def _provider(feats):
+    cap = int(np.ceil(max(len(k) for k, _ in feats) / 256)) * 256
+    return ArrayFeatureProvider(feats, capacity=cap)
+
+
+def _ate_of(m, scene):
+    reg_ids = [iid for iid in range(m.store.num_images)
+               if m.store.image_registered[iid]]
+    idxs = [m.image_id_to_idx[iid] for iid in reg_ids]
+    R = np.asarray(rotmat_from_rvec(jnp.asarray(m.store.image_rvecs[reg_ids], jnp.float32)))
+    est = -np.einsum("nij,nj->ni", R.transpose(0, 2, 1), m.store.image_tvecs[reg_ids])
+    return ate_rmse(est, scene.camera_centers()[idxs])
+
+
+@pytest.mark.slow
+def test_pipeline_submap_restart_and_merge(rng):
+    scene = make_uav_scene(num_images=12, num_points=2000, relief=10.0, rows=2, seed=2)
+    feats, _ = render_features(scene, pixel_noise=0.3, clutter=20, seed=2)
+    # Blackout frame 4 -> chain break -> sub-map restart -> merge.
+    kp, de = feats[4]
+    bad = rng.normal(size=de.shape).astype(np.float32)
+    feats[4] = (kp, bad / np.linalg.norm(bad, axis=-1, keepdims=True))
+    prov = _provider(feats)
+    desc = np.concatenate([d for _, d in feats])
+    tree = train_voc_tree(desc[rng.permutation(len(desc))[:4000]],
+                          branching=8, depth=2, iters=3)
+    opts = PipelineOptions(verbose=False, max_subsequent_trials=1,
+                           tri_min_angle=1.0, init_tri_min_angle=4.0,
+                           min_track_len=2, loop_detection_period=100)
+    res = run_pipeline(scene.image_cameras, scene.cam_models, scene.cam_params,
+                       prov, opts, voc_tree=tree)
+    m = res.main_mapper
+    assert len(res.mappers) == 1          # merged back into one
+    assert m.num_proc_images >= 10        # all but the blackout frame
+    assert _ate_of(m, scene) < 0.1
+
+
+@pytest.mark.slow
+def test_pipeline_gcp_georegistration(rng):
+    from mavmap_tpu.models import camera as cam
+
+    scene = make_uav_scene(num_images=6, num_points=1500, relief=10.0, rows=1, seed=4)
+    feats, _ = render_features(scene, pixel_noise=0.3, clutter=10, seed=4)
+    prov = _provider(feats)
+
+    cps = []
+    for k in range(5):
+        X = np.array([rng.uniform(1, 12), rng.uniform(2, 10), rng.uniform(0, 3)])
+        obs = []
+        for i in range(6):
+            R = np.asarray(rotmat_from_rvec(jnp.asarray(scene.rvecs[i])))
+            Xc = R @ X + scene.tvecs[i]
+            if Xc[2] < 1:
+                continue
+            uv = np.asarray(cam.world2image(jnp.asarray(Xc, jnp.float32), 1,
+                                            jnp.asarray(scene.cam_params[0])))
+            if 0 <= uv[0] < 800 and 0 <= uv[1] < 600:
+                obs.append((i, float(uv[0]), float(uv[1])))
+        if len(obs) >= 2:
+            cps.append(ControlPoint(f"cp{k}", X.copy(), obs, fixed=(k < 4)))
+    assert sum(c.fixed for c in cps) >= 3
+
+    opts = PipelineOptions(verbose=False, use_control_points=True,
+                           tri_min_angle=1.0, init_tri_min_angle=4.0,
+                           min_track_len=2, loop_detection=False)
+    res = run_pipeline(scene.image_cameras, scene.cam_models, scene.cam_params,
+                       prov, opts, control_points=cps)
+    m = res.main_mapper
+    # Absolute (non-aligned) accuracy: geo-registration puts the model in
+    # the GCP world frame.
+    reg_ids = [iid for iid in range(m.store.num_images)
+               if m.store.image_registered[iid]]
+    idxs = [m.image_id_to_idx[iid] for iid in reg_ids]
+    R = np.asarray(rotmat_from_rvec(jnp.asarray(m.store.image_rvecs[reg_ids], jnp.float32)))
+    est = -np.einsum("nij,nj->ni", R.transpose(0, 2, 1), m.store.image_tvecs[reg_ids])
+    abs_rmse = np.sqrt(np.mean(np.sum((est - scene.camera_centers()[idxs]) ** 2, -1)))
+    assert abs_rmse < 0.1
+    assert res.control_point_results is not None
+    for cp, est_xyz, tl, resid in res.control_point_results:
+        if est_xyz is not None and not cp.fixed:
+            assert np.linalg.norm(est_xyz - cp.xyz) < 0.05
+
+
+@pytest.mark.slow
+def test_cli_end_to_end(rng, tmp_path):
+    """Drive the CLI against a dataset with precomputed cached features."""
+    from mavmap_tpu.cli import main as cli_main
+
+    scene = make_uav_scene(num_images=6, num_points=1500, relief=10.0, rows=1, seed=6)
+    feats, _ = render_features(scene, pixel_noise=0.3, clutter=10, seed=6)
+
+    data = tmp_path / "data"
+    out = tmp_path / "out"
+    cache = tmp_path / "cache"
+    data.mkdir(), cache.mkdir()
+    lines = ["# imagedata"]
+    for i in range(6):
+        cam_def = ", 1, PINHOLE, 700.0, 700.0, 400.0, 300.0" if i == 0 else ""
+        lines.append(f"img{i}, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0{cam_def}")
+    (data / "imagedata.txt").write_text("\n".join(lines) + "\n")
+
+    # Pre-populate the feature cache (detector not exercised here).
+    import hashlib, json
+    params = {"hessian_threshold": 1000.0, "num_octaves": 4,
+              "num_octave_layers": 3, "max_features": 1024}
+    fp = hashlib.sha256(json.dumps(params, sort_keys=True).encode()).hexdigest()[:16]
+    for i, (kp, de) in enumerate(feats):
+        np.savez(cache / f"img{i}.npz", keypoints=kp, descriptors=de,
+                 fingerprint=fp)
+
+    rc = cli_main([
+        "--input-path", str(data), "--output-path", str(out),
+        "--cache-path", str(cache), "--max-features", "1024",
+        "--min-track-len", "2", "--tri-min-angle", "1.0",
+        "--init-tri-min-angle", "4.0", "--quiet",
+    ])
+    assert rc == 0
+    assert (out / "imagedataout.txt").exists()
+    assert (out / "points3D.ply").exists()
+    assert (out / "cameras.wrl").exists()
+    content = (out / "imagedataout.txt").read_text()
+    assert content.count("img") == 6  # all registered
+    ply = (out / "points3D.ply").read_text().splitlines()
+    n_pts = int(ply[2].split()[-1])
+    assert n_pts > 100
