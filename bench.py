@@ -1,0 +1,106 @@
+"""Benchmark: frames/s registered by the sequential mapper on TPU.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline: the reference (mavmap/mavmap) publishes no numbers (BASELINE.md);
+its runtime self-measurement on era-typical CPUs is ~1 s/frame for
+SURF-scale feature counts (matching + RANSAC + windowed Ceres BA dominate;
+see SURVEY §3 hot loops). vs_baseline is therefore frames_per_second / 1.0.
+
+Secondary diagnostics (ATE, BA time/iter, registration rate) go to stderr.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    from mavmap_tpu.ba import BAOptions
+    from mavmap_tpu.features import ArrayFeatureProvider
+    from mavmap_tpu.sfm import SequentialMapper, SequentialMapperOptions
+    from mavmap_tpu.utils.synthetic import ate_rmse, make_uav_scene, render_features
+
+    NUM_IMAGES = 30
+    scene = make_uav_scene(num_images=NUM_IMAGES, num_points=4000, relief=10.0,
+                           rows=2, seed=11)
+    feats, _ = render_features(scene, pixel_noise=0.3, clutter=64, seed=11)
+    cap = 1024
+    feats = [(k[:cap], d[:cap]) for k, d in feats]
+    prov = ArrayFeatureProvider(feats, capacity=cap)
+
+    opts = SequentialMapperOptions(
+        tri_min_angle=1.0, final_cost_threshold=2.0,
+        essential_ransac_trials=512, p3p_ransac_trials=512,
+    )
+    init_opts = SequentialMapperOptions(
+        tri_min_angle=4.0, final_cost_threshold=2.0,
+        essential_ransac_trials=512, p3p_ransac_trials=512,
+    )
+    ba_opts = BAOptions(max_num_iterations=10)
+
+    def run(n_images, seed):
+        m = SequentialMapper(scene.image_cameras, scene.cam_models,
+                             scene.cam_params, prov, seed=seed)
+        assert m.process_initial(0, 1, init_opts)
+        last = 1
+        ba_time = 0.0
+        ba_iters = 0
+        for i in range(2, n_images):
+            if m.process(i, last, opts):
+                last = i
+                reg = sorted(m.image_idx_to_id.keys())
+                window = reg[-8:]
+                if len(window) > 2:
+                    t0 = time.time()
+                    info = m.adjust_bundle(window[2:], window[:2],
+                                           ba_options=ba_opts)
+                    ba_time += time.time() - t0
+                    ba_iters += int(info["iterations"]) if info else 0
+        return m, ba_time, max(ba_iters, 1)
+
+    # Warmup: compile every kernel/BA-bucket shape with a full-length run
+    # (production sequences are long; compilation amortizes to zero).
+    run(NUM_IMAGES, seed=0)
+
+    t0 = time.time()
+    m, ba_time, ba_iters = run(NUM_IMAGES, seed=1)
+    elapsed = time.time() - t0
+    n_reg = m.num_proc_images
+    fps = n_reg / elapsed
+
+    # Quality check: ATE vs ground truth.
+    import jax.numpy as jnp
+    from mavmap_tpu.ops.rotation import rotmat_from_rvec
+
+    reg_ids = [iid for iid in range(m.store.num_images)
+               if m.store.image_registered[iid]]
+    idxs = [m.image_id_to_idx[iid] for iid in reg_ids]
+    R = np.asarray(rotmat_from_rvec(jnp.asarray(m.store.image_rvecs[reg_ids],
+                                                jnp.float32)))
+    est = -np.einsum("nij,nj->ni", R.transpose(0, 2, 1),
+                     m.store.image_tvecs[reg_ids])
+    ate = ate_rmse(est, scene.camera_centers()[idxs])
+
+    print(
+        f"# registered {n_reg}/{NUM_IMAGES} in {elapsed:.2f}s | "
+        f"ATE {ate:.4f} m | BA {1000*ba_time/ba_iters:.1f} ms/iter | "
+        f"device {jax.devices()[0].device_kind}",
+        file=sys.stderr,
+    )
+
+    baseline_fps = 1.0  # reference-era CPU estimate (see module docstring)
+    print(json.dumps({
+        "metric": "frames_per_second_registered",
+        "value": round(fps, 3),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / baseline_fps, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -100,13 +100,18 @@ def build_problem(
     rot_prior_weight=None,
     obs_capacity=None,
     pair_capacity=None,
+    bucket=False,
 ):
     """Host-side problem construction (numpy in, BAProblem of jnp arrays out).
 
     Enumerates the exact track co-observation pair list for the Schur
     off-diagonal terms (the quadratic-in-track-length part the reference
     leaves to Ceres' sparse solver). Capacities allow bucketing to avoid
-    recompilation across calls.
+    recompilation across calls; `bucket=True` rounds every dynamic dimension
+    (images, points, observations, pairs) up to coarse quanta so repeated
+    solves hit the jit cache — without it the LM loop recompiles every call
+    and compilation dominates wall-clock (the padding rows are fixed/masked
+    and contribute nothing).
     """
     obs_image = np.asarray(obs_image, np.int32)
     obs_point = np.asarray(obs_point, np.int32)
@@ -114,34 +119,41 @@ def build_problem(
     obs_uv = np.asarray(obs_uv, np.float32)
     O = len(obs_image)
 
-    # Track pair list: for every point, all ordered pairs (a, b) of its
-    # observations (including a == b pairs? no — the diagonal U terms are
-    # direct; here only a != b cross terms, plus a == b which IS also part
-    # of the Schur product: S -= G_a V^-1 G_b^T for ALL pairs incl. a == b).
+    # Track pair list: for every point, ALL ordered pairs (a, b) of its
+    # observations including a == b — the Schur product subtracts
+    # G_a V^-1 G_b^T for every such pair. Fully vectorized (this runs once
+    # per BA call; a Python per-track loop would dominate frame time).
     order = np.argsort(obs_point, kind="stable")
     sorted_pts = obs_point[order]
-    pair_a, pair_b = [], []
-    start = 0
-    while start < O:
-        end = start
-        while end < O and sorted_pts[end] == sorted_pts[start]:
-            end += 1
-        track = order[start:end]
-        k = len(track)
-        if k >= 1:
-            ia = np.repeat(track, k)
-            ib = np.tile(track, k)
-            pair_a.append(ia)
-            pair_b.append(ib)
-        start = end
-    pair_a = np.concatenate(pair_a) if pair_a else np.zeros(0, np.int64)
-    pair_b = np.concatenate(pair_b) if pair_b else np.zeros(0, np.int64)
+    if O:
+        # Group boundaries in the sorted-by-point order.
+        new_group = np.empty(O, bool)
+        new_group[0] = True
+        new_group[1:] = sorted_pts[1:] != sorted_pts[:-1]
+        group_id = np.cumsum(new_group) - 1            # (O,) per-obs group
+        starts = np.where(new_group)[0]                # (G,)
+        counts = np.diff(np.append(starts, O))         # (G,) track sizes k
+        # pair_a: each obs repeated k times (its group's size).
+        k_per_obs = counts[group_id]
+        pair_a = np.repeat(order, k_per_obs)
+        # pair_b: per group, the whole track tiled k times.
+        pair_sizes = counts * counts
+        gid_per_pair = np.repeat(np.arange(len(counts)), pair_sizes)
+        offsets = np.concatenate([[0], np.cumsum(pair_sizes)[:-1]])
+        j_within = np.arange(pair_sizes.sum()) - offsets[gid_per_pair]
+        pair_b = order[starts[gid_per_pair] + j_within % counts[gid_per_pair]]
+    else:
+        pair_a = np.zeros(0, np.int64)
+        pair_b = np.zeros(0, np.int64)
     Q = len(pair_a)
 
+    def round_up(n, q):
+        return max(((n + q - 1) // q) * q, q)
+
     if obs_capacity is None:
-        obs_capacity = O
+        obs_capacity = round_up(O, 4096) if bucket else O
     if pair_capacity is None:
-        pair_capacity = Q
+        pair_capacity = round_up(Q, 16384) if bucket else Q
     assert obs_capacity >= O and pair_capacity >= Q
 
     def pad(arr, n, fill=0):
@@ -152,9 +164,15 @@ def build_problem(
     obs_mask = pad(np.ones(O, bool), obs_capacity, False)
     pair_mask = pad(np.ones(Q, bool), pair_capacity, False)
 
-    I = len(poses)
-    P = len(points)
+    I0 = len(poses)
+    P0 = len(points)
+    I = round_up(I0, 8) if bucket else I0
+    P = round_up(P0, 1024) if bucket else P0
+    poses = pad(np.asarray(poses, np.float32), I)
+    points = pad(np.asarray(points, np.float32), P)
+
     pose_free = np.ones((I, 6), np.float32)
+    pose_free[I0:] = 0.0  # bucketing padding: fully fixed dummy poses
     if pose_states is not None:
         for i, s in enumerate(pose_states):
             if s == BA_POSE_FIXED:
@@ -162,13 +180,18 @@ def build_problem(
             elif s == BA_POSE_FIXED_X:
                 pose_free[i, 3] = 0.0  # x-translation pinned
     point_free = np.ones((P,), np.float32)
+    point_free[P0:] = 0.0  # padding points pinned
     if point_fixed is not None:
-        point_free[np.asarray(point_fixed, bool)] = 0.0
+        point_free[:P0][np.asarray(point_fixed, bool)] = 0.0
 
     if rot_prior is None:
         rot_prior = np.zeros((I, 3), np.float32)
+    else:
+        rot_prior = pad(np.asarray(rot_prior, np.float32), I)
     if rot_prior_weight is None:
         rot_prior_weight = np.zeros((I,), np.float32)
+    else:
+        rot_prior_weight = pad(np.asarray(rot_prior_weight, np.float32), I)
 
     return BAProblem(
         poses=jnp.asarray(poses, jnp.float32),
@@ -389,6 +412,8 @@ def point_mean_errors(prob: BAProblem, poses, points):
     Matches the reference's update_point3D_errors recomputation with the
     loss swapped to trivial (bundle_adjustment.cc:575-598).
     """
+    poses = jnp.asarray(poses)
+    points = jnp.asarray(points)
     r = _all_residuals(prob, poses, points)
     nrm = jnp.linalg.norm(r, axis=-1)
     nrm = jnp.where(prob.obs_mask, nrm, 0.0)
@@ -402,14 +427,16 @@ def point_mean_errors(prob: BAProblem, poses, points):
 
 def bundle_adjust(prob: BAProblem, options: BAOptions = BAOptions()):
     """Run LM to convergence. Returns (poses, points, info dict)."""
-    poses, points, cost, init_cost, iters = _lm_loop(
-        prob,
-        jnp.float32(options.loss_scale_factor),
-        options.lambda_init,
-        options.lambda_up,
-        options.lambda_down,
-        options.function_tolerance,
-        options.max_num_iterations,
+    poses, points, cost, init_cost, iters = jax.device_get(
+        _lm_loop(
+            prob,
+            jnp.float32(options.loss_scale_factor),
+            options.lambda_init,
+            options.lambda_up,
+            options.lambda_down,
+            options.function_tolerance,
+            options.max_num_iterations,
+        )
     )
     info = {
         "initial_cost": init_cost,

@@ -59,6 +59,7 @@ class MapStore:
         self.point3D_tri = np.zeros((0,), bool)
         self.point3D_error = np.full((0,), -1.0, np.float64)
         self.point3D_fixed = np.zeros((0,), bool)            # GCP pinning
+        self.point3D_track_len = np.zeros((0,), np.int32)
         # track: point3D id -> list of point2D ids.
         self.tracks = {}
 
@@ -142,6 +143,7 @@ class MapStore:
         self.point3D_tri = np.append(self.point3D_tri, xyz is not None)
         self.point3D_error = np.append(self.point3D_error, -1.0)
         self.point3D_fixed = np.append(self.point3D_fixed, False)
+        self.point3D_track_len = np.append(self.point3D_track_len, np.int32(0))
         self.tracks[pid] = []
         return pid
 
@@ -158,6 +160,7 @@ class MapStore:
             self.point2D_point3D[p2d] = -1
         self.point3D_valid[point3D_id] = False
         self.point3D_tri[point3D_id] = False
+        self.point3D_track_len[point3D_id] = 0
 
     def track_len(self, point3D_id):
         return len(self.tracks.get(point3D_id, ()))
@@ -174,6 +177,7 @@ class MapStore:
             return False
         self.tracks[point3D_id].append(int(p2d_id))
         self.point2D_point3D[p2d_id] = point3D_id
+        self.point3D_track_len[point3D_id] += 1
         return True
 
     def add_correspondence(self, p2d_a, p2d_b):
@@ -190,6 +194,7 @@ class MapStore:
             pid = self._new_point3D()
             self.tracks[pid] = [int(p2d_a)]
             self.point2D_point3D[p2d_a] = pid
+            self.point3D_track_len[pid] = 1
             self._attach(pid, p2d_b)
             return pid
         if ta >= 0 and tb < 0:
@@ -212,6 +217,7 @@ class MapStore:
         del self.tracks[drop]
         self.point3D_valid[drop] = False
         self.point3D_tri[drop] = False
+        self.point3D_track_len[drop] = 0
         return keep
 
     def find_tri_points(self, image_id):
@@ -228,31 +234,24 @@ class MapStore:
         """Flat (obs -> image, point3D, uv, uv_norm) arrays for BA.
 
         Only observations of valid (and optionally triangulated) 3-D points
-        whose track length >= min_track_len.
+        whose track length >= min_track_len. Fully vectorized over the
+        point2D->point3D table — no per-track Python loop (this runs once
+        per local BA, i.e. every frame).
         """
-        obs_img, obs_pt, obs_xy, obs_xyn = [], [], [], []
-        for pid, track in self.tracks.items():
-            if not self.point3D_valid[pid]:
-                continue
-            if tri_only and not self.point3D_tri[pid]:
-                continue
-            if len(track) < min_track_len:
-                continue
-            for p2d in track:
-                obs_img.append(self.point2D_image[p2d])
-                obs_pt.append(pid)
-                obs_xy.append(self.point2D_xy[p2d])
-                obs_xyn.append(self.point2D_xy_norm[p2d])
-        if not obs_img:
-            return (
-                np.zeros((0,), np.int32),
-                np.zeros((0,), np.int64),
-                np.zeros((0, 2), np.float64),
-                np.zeros((0, 2), np.float64),
-            )
+        p3d = self.point2D_point3D
+        sel = p3d >= 0
+        pids = np.maximum(p3d, 0)
+        ok = (
+            sel
+            & self.point3D_valid[pids]
+            & (self.point3D_track_len[pids] >= min_track_len)
+        )
+        if tri_only:
+            ok = ok & self.point3D_tri[pids]
+        rows = np.where(ok)[0]
         return (
-            np.asarray(obs_img, np.int32),
-            np.asarray(obs_pt, np.int64),
-            np.asarray(obs_xy, np.float64),
-            np.asarray(obs_xyn, np.float64),
+            self.point2D_image[rows].astype(np.int32),
+            p3d[rows],
+            self.point2D_xy[rows],
+            self.point2D_xy_norm[rows],
         )

@@ -1,0 +1,285 @@
+"""Distributed bundle adjustment over a jax.sharding.Mesh.
+
+The TPU-native replacement for the reference's Ceres SPARSE_SCHUR CPU
+threading (bundle_adjustment.cc:554-569), following SURVEY §7: shard the
+OBSERVATIONS and 3-D POINTS across devices (they dominate problem size),
+replicate the camera/pose parameters (small), and reduce the Schur
+complement of the camera system with `psum` over the mesh axis — ICI
+within a slice, DCN across hosts.
+
+Partitioning is by 3-D point: every observation and every Schur
+co-observation pair of a point lives on exactly ONE shard, so the
+point-block solves and back-substitution are shard-local and the only
+communication per LM iteration is:
+
+    psum(U (I,6,6)), psum(bc (I,6)), psum(S_off (I,I,6,6)), psum(g_red),
+    psum(scalar cost)
+
+The whole LM loop (with its accept/reject control flow) runs inside
+shard_map — the psum'd cost makes every shard take identical decisions, so
+the loop stays collective-consistent without host round-trips.
+"""
+
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ba.core import BAProblem, _obs_jacobians, _cauchy_weight, _all_residuals
+from ..ops.rotation import rotmat_from_rvec
+
+
+def partition_problem(
+    poses, points, cam_params, cam_models,
+    obs_image, obs_point, obs_cam, obs_uv,
+    num_shards,
+    pose_states=None, point_fixed=None,
+    rot_prior=None, rot_prior_weight=None,
+):
+    """Host-side: split a BA problem into `num_shards` point-disjoint shards.
+
+    Returns a BAProblem whose obs/pair arrays have a leading shard axis and
+    whose `points` rows are permuted so each shard owns a contiguous,
+    equally-sized block (padded with dummy points). Poses stay replicated.
+    `obs_point` indices inside each shard refer to the GLOBAL (permuted)
+    point row — points are sharded along their first axis, and XLA keeps
+    each block device-local under shard_map.
+    """
+    from ..ba.core import build_problem
+
+    obs_point = np.asarray(obs_point, np.int64)
+    obs_image = np.asarray(obs_image, np.int32)
+    obs_cam = np.asarray(obs_cam, np.int32)
+    obs_uv = np.asarray(obs_uv, np.float32)
+    P_n = len(points)
+
+    # Greedy balance points by observation count.
+    pid_counts = np.bincount(obs_point, minlength=P_n)
+    order = np.argsort(-pid_counts, kind="stable")
+    shard_load = np.zeros(num_shards, np.int64)
+    point_shard = np.zeros(P_n, np.int32)
+    for pid in order:
+        s = int(np.argmin(shard_load))
+        point_shard[pid] = s
+        shard_load[s] += pid_counts[pid] + 1
+
+    # Permute points so each shard owns a contiguous block of equal size.
+    per_shard = int(np.max(np.bincount(point_shard, minlength=num_shards)))
+    new_index = np.full(P_n, -1, np.int64)
+    new_points = np.zeros((num_shards * per_shard, 3), np.float32)
+    new_point_fixed = np.ones(num_shards * per_shard, bool)  # padding fixed
+    fill = np.zeros(num_shards, np.int64)
+    for pid in range(P_n):
+        s = point_shard[pid]
+        row = s * per_shard + fill[s]
+        fill[s] += 1
+        new_index[pid] = row
+        new_points[row] = points[pid]
+        if point_fixed is not None:
+            new_point_fixed[row] = point_fixed[pid]
+        else:
+            new_point_fixed[row] = False
+
+    # Group observations per shard, padded to a common length.
+    obs_shard = point_shard[obs_point]
+    max_obs = int(np.max(np.bincount(obs_shard, minlength=num_shards)))
+
+    def build_shard(s):
+        sel = np.where(obs_shard == s)[0]
+        oi = obs_image[sel]
+        op = new_index[obs_point[sel]]
+        oc = obs_cam[sel]
+        uv = obs_uv[sel]
+        return build_problem(
+            poses, new_points, cam_params, cam_models, oi, op, oc, uv,
+            pose_states=pose_states, point_fixed=new_point_fixed,
+            rot_prior=rot_prior, rot_prior_weight=rot_prior_weight,
+            obs_capacity=max_obs,
+        )
+
+    shards = [build_shard(s) for s in range(num_shards)]
+    max_pairs = max(p.pair_a.shape[0] for p in shards)
+
+    def pad_pairs(p: BAProblem):
+        q = p.pair_a.shape[0]
+        if q == max_pairs:
+            return p
+        padn = max_pairs - q
+        return p._replace(
+            pair_a=jnp.concatenate([p.pair_a, jnp.zeros(padn, jnp.int32)]),
+            pair_b=jnp.concatenate([p.pair_b, jnp.zeros(padn, jnp.int32)]),
+            pair_mask=jnp.concatenate([p.pair_mask, jnp.zeros(padn, bool)]),
+        )
+
+    shards = [pad_pairs(p) for p in shards]
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *shards)
+    # Per-shard arrays keep the leading shard axis; replicated fields are
+    # identical across shards (poses, cams, masks, priors, points).
+    return stacked, new_index, per_shard
+
+
+def _local_normal_terms(prob: BAProblem, poses, points, lam, scale, axis):
+    """Shard-local contributions + psum-reduced camera system pieces."""
+    I = poses.shape[0]
+    Pn = points.shape[0]
+
+    r, Jc, Jp = _obs_jacobians(prob, poses, points)
+    w = _cauchy_weight(jnp.sum(r * r, axis=-1), scale)
+    w = jnp.where(prob.obs_mask, w, 0.0)
+    Jc = Jc * prob.pose_free[prob.obs_image][:, None, :]
+    Jp = Jp * prob.point_free[prob.obs_point][:, None, None]
+
+    wJc = w[:, None, None] * Jc
+    U = jax.ops.segment_sum(jnp.einsum("oki,okj->oij", wJc, Jc),
+                            prob.obs_image, num_segments=I)
+    bc = jax.ops.segment_sum(jnp.einsum("oki,ok->oi", wJc, r),
+                             prob.obs_image, num_segments=I)
+    U = jax.lax.psum(U, axis)
+    bc = jax.lax.psum(bc, axis)
+
+    wJp = w[:, None, None] * Jp
+    V = jax.ops.segment_sum(jnp.einsum("oki,okj->oij", wJp, Jp),
+                            prob.obs_point, num_segments=Pn)
+    bp = jax.ops.segment_sum(jnp.einsum("oki,ok->oi", wJp, r),
+                             prob.obs_point, num_segments=Pn)
+
+    # Rotation priors: replicated data, add once after the psum.
+    def rot_one(pose, prior, wgt, free):
+        def f(p):
+            R = rotmat_from_rvec(p[:3])
+            R0 = rotmat_from_rvec(prior)
+            return (wgt * (R - R0)).reshape(9)
+
+        rr = f(pose)
+        Jr = jax.jacfwd(f)(pose) * free[None, :]
+        return Jr.T @ Jr, Jr.T @ rr
+
+    Ur, br = jax.vmap(rot_one)(poses, prob.rot_prior, prob.rot_prior_weight,
+                               prob.pose_free)
+    U = U + Ur + lam * jnp.eye(6)[None]
+    bc = bc + br
+    V = V + lam * jnp.eye(3)[None]
+    V = V + (1.0 - prob.point_free)[:, None, None] * jnp.eye(3)[None]
+    Vinv = jnp.linalg.inv(V)
+
+    G = jnp.einsum("oki,okj->oij", wJc, Jp)
+    T = jnp.einsum("oij,ojk->oik", G, Vinv[prob.obs_point])
+
+    Ta = T[prob.pair_a]
+    Gb = G[prob.pair_b]
+    contrib = jnp.einsum("qij,qkj->qik", Ta, Gb)
+    contrib = jnp.where(prob.pair_mask[:, None, None], contrib, 0.0)
+    pair_blk = prob.obs_image[prob.pair_a] * I + prob.obs_image[prob.pair_b]
+    S_off = jax.ops.segment_sum(contrib, pair_blk, num_segments=I * I)
+    S_off = jax.lax.psum(S_off, axis)
+
+    g_red_local = jax.ops.segment_sum(
+        jnp.einsum("oij,oj->oi", T, bp[prob.obs_point]),
+        prob.obs_image, num_segments=I,
+    )
+    g_red = bc - jax.lax.psum(g_red_local, axis)
+
+    S = jnp.zeros((I, I, 6, 6)).at[jnp.arange(I), jnp.arange(I)].set(U)
+    S = S - S_off.reshape(I, I, 6, 6)
+    return S, g_red, G, Vinv, bp
+
+
+def _dist_cost(prob: BAProblem, poses, points, scale, axis):
+    r = _all_residuals(prob, poses, points)
+    s = jnp.sum(r * r, axis=-1)
+    c2 = scale * scale
+    rho = c2 * jnp.log1p(s / c2)
+    local = 0.5 * jnp.sum(jnp.where(prob.obs_mask, rho, 0.0))
+    total = jax.lax.psum(local, axis)
+    R = rotmat_from_rvec(poses[:, :3])
+    R0 = rotmat_from_rvec(prob.rot_prior)
+    w = prob.rot_prior_weight[:, None, None]
+    rr = (w * (R - R0)).reshape(poses.shape[0], 9)
+    return total + 0.5 * jnp.sum(rr * rr)
+
+
+def _dist_lm_loop(prob: BAProblem, scale, lambda_init, max_iters, axis):
+    I = prob.poses.shape[0]
+
+    def lm_step(poses, points, lam):
+        S, g_red, G, Vinv, bp = _local_normal_terms(
+            prob, poses, points, lam, scale, axis
+        )
+        free = prob.pose_free.reshape(I * 6)
+        Sd = S.transpose(0, 2, 1, 3).reshape(I * 6, I * 6)
+        Sd = Sd * free[:, None] * free[None, :] + jnp.diag(1.0 - free)
+        gd = g_red.reshape(I * 6) * free
+        dc = -jnp.linalg.solve(Sd, gd).reshape(I, 6) * prob.pose_free
+        Gt_dc = jax.ops.segment_sum(
+            jnp.einsum("oij,oi->oj", G, dc[prob.obs_image]),
+            prob.obs_point, num_segments=points.shape[0],
+        )
+        dp = -jnp.einsum("pij,pj->pi", Vinv, bp + Gt_dc)
+        dp = dp * prob.point_free[:, None]
+        return dc, dp
+
+    def cond(state):
+        _, _, _, it, done, _ = state
+        return (it < max_iters) & (~done)
+
+    def body(state):
+        poses, points, lam, it, done, cost = state
+        dc, dp = lm_step(poses, points, lam)
+        new_poses = poses + dc
+        new_points = points + dp
+        new_cost = _dist_cost(prob, new_poses, new_points, scale, axis)
+        accept = new_cost < cost
+        poses = jnp.where(accept, new_poses, poses)
+        points = jnp.where(accept, new_points, points)
+        lam = jnp.clip(jnp.where(accept, lam * 0.5, lam * 10.0), 1e-10, 1e8)
+        rel = (cost - new_cost) / jnp.maximum(cost, 1e-20)
+        done = accept & (rel < 1e-4)
+        cost = jnp.where(accept, new_cost, cost)
+        return (poses, points, lam, it + 1, done, cost)
+
+    init_cost = _dist_cost(prob, prob.poses, prob.points, scale, axis)
+    state = (prob.poses, prob.points, jnp.float32(lambda_init), 0, False, init_cost)
+    poses, points, lam, it, done, cost = jax.lax.while_loop(cond, body, state)
+    return poses, points, cost, init_cost, it
+
+
+def dist_bundle_adjust(mesh, stacked_prob: BAProblem, scale=1.0,
+                       lambda_init=1e-4, max_iters=20, axis="obs"):
+    """Run the distributed LM loop over `mesh` (1-D, axis name `axis`).
+
+    stacked_prob: BAProblem from `partition_problem` — obs/pair arrays have
+    a leading shard axis (sharded over the mesh); poses/points/cams are
+    replicated inputs, with `points` rows blocked per shard so each shard
+    updates only its own block (combined with psum of zeros elsewhere).
+    Returns (poses, points, final_cost, initial_cost, iters).
+    """
+    n = mesh.devices.size
+    per_shard = stacked_prob.points.shape[1] // n if stacked_prob.points.ndim == 3 else stacked_prob.points.shape[0] // n
+
+    def shard_fn(prob_local):
+        # prob_local: leading shard axis of size 1 for per-shard arrays.
+        prob_local = jax.tree.map(lambda x: x[0], prob_local)
+        poses, points, cost, init_cost, it = _dist_lm_loop(
+            prob_local, jnp.float32(scale), lambda_init, max_iters, axis
+        )
+        # Points: each shard owns rows [rank*per, (rank+1)*per). Zero the
+        # others and psum -> full array (then output replicated).
+        rank = jax.lax.axis_index(axis)
+        rows = jnp.arange(points.shape[0])
+        own = (rows >= rank * per_shard) & (rows < (rank + 1) * per_shard)
+        points_own = jnp.where(own[:, None], points, 0.0)
+        points_full = jax.lax.psum(points_own, axis)
+        return poses, points_full, cost, init_cost, it
+
+    specs_in = jax.tree.map(lambda _: P(axis), stacked_prob)
+    out_specs = (P(), P(), P(), P(), P())
+    fn = jax.jit(
+        jax.shard_map(
+            shard_fn, mesh=mesh, in_specs=(specs_in,), out_specs=out_specs,
+            check_vma=False,
+        )
+    )
+    return fn(stacked_prob)

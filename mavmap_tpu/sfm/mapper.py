@@ -59,6 +59,7 @@ class SequentialMapper:
         self._key = jax.random.PRNGKey(seed)
         self._feat_cache = {}
         self._norm_cache = {}
+        self._dev_cache = {}
 
     # ------------------------------------------------------------- helpers
 
@@ -70,6 +71,23 @@ class SequentialMapper:
         if image_idx not in self._feat_cache:
             self._feat_cache[image_idx] = self.provider.get(image_idx)
         return self._feat_cache[image_idx]
+
+    def _device_features(self, image_idx):
+        """Per-image feature arrays resident on device (uploaded once).
+
+        Re-shipping descriptors over the host->device link every frame
+        dominates per-frame latency on a remote-attached TPU; caching the
+        jnp arrays makes repeat uses free.
+        """
+        if image_idx not in self._dev_cache:
+            f = self._features(image_idx)
+            self._dev_cache[image_idx] = (
+                jnp.asarray(f.keypoints),
+                jnp.asarray(f.descriptors),
+                jnp.asarray(f.mask),
+                jnp.asarray(self._normalized(image_idx)),
+            )
+        return self._dev_cache[image_idx]
 
     def _normalized(self, image_idx):
         """Normalized coords of an image's (padded) keypoints."""
@@ -135,24 +153,21 @@ class SequentialMapper:
         if first_idx == second_idx:
             raise ValueError("initial pair must be distinct images")
 
-        f1 = self._features(first_idx)
-        f2 = self._features(second_idx)
-        n1 = self._normalized(first_idx)
-        n2 = self._normalized(second_idx)
+        kp1, d1, m1, n1 = self._device_features(first_idx)
+        kp2, d2, m2, n2 = self._device_features(second_idx)
         nt = self._norm_threshold(options.ransac_max_reproj_error, first_idx)
 
         r = two_view_init(
             self._next_key(),
-            jnp.asarray(f1.keypoints), jnp.asarray(f1.descriptors),
-            jnp.asarray(f1.mask), jnp.asarray(n1),
-            jnp.asarray(f2.keypoints), jnp.asarray(f2.descriptors),
-            jnp.asarray(f2.mask), jnp.asarray(n2),
+            kp1, d1, m1, n1,
+            kp2, d2, m2, n2,
             jnp.float32(options.match_max_ratio),
             jnp.float32(options.match_max_distance if options.match_max_distance > 0 else 1e9),
             jnp.float32(nt),
             essential_trials=options.essential_ransac_trials,
             max_depth=options.max_depth,
         )
+        r = jax.device_get(r)  # ONE host transfer for all outputs
 
         num_matches = int(r.num_matches)
         if num_matches < 5:
@@ -214,10 +229,8 @@ class SequentialMapper:
         if self.is_pair_processed(image_idx, prev_image_idx):
             return True
 
-        fp = self._features(prev_image_idx)
-        fc = self._features(image_idx)
-        np_ = self._normalized(prev_image_idx)
-        nc = self._normalized(image_idx)
+        kpp, dp_, mp_, npn = self._device_features(prev_image_idx)
+        kpc, dc_, mc_, ncn = self._device_features(image_idx)
         nt = self._norm_threshold(options.ransac_max_reproj_error, image_idx)
         tri_nt = self._norm_threshold(options.tri_max_reproj_error, image_idx)
 
@@ -226,32 +239,30 @@ class SequentialMapper:
         F = self.provider.capacity
         n_prev_feats = len(prev_p2d)
 
-        # Per prev-row track info.
+        # Per prev-row track info (vectorized over the point tables).
         p3d = self.store.point2D_point3D[prev_p2d]
-        has_p3d = p3d >= 0
+        pids = np.maximum(p3d, 0)
+        linked = (p3d >= 0) & self.store.point3D_valid[pids]
+        has_tri_rows = linked & self.store.point3D_tri[pids]
+        stable_rows = has_tri_rows & (
+            self.store.point3D_track_len[pids] >= options.min_track_len
+        )
         has_tri = np.zeros(F, bool)
         stable = np.zeros(F, bool)
         xyz = np.zeros((F, 3), np.float32)
-        for row in np.where(has_p3d)[0]:
-            pid = int(p3d[row])
-            if not self.store.point3D_valid[pid]:
-                continue
-            tlen = self.store.track_len(pid)
-            if self.store.point3D_tri[pid]:
-                has_tri[row] = True
-                xyz[row] = self.store.point3D_xyz[pid]
-                if tlen >= options.min_track_len:
-                    stable[row] = True
+        has_tri[: len(prev_p2d)] = has_tri_rows
+        stable[: len(prev_p2d)] = stable_rows
+        xyz[: len(prev_p2d)][has_tri_rows] = self.store.point3D_xyz[
+            pids[has_tri_rows]
+        ]
 
         prev_rvec, prev_tvec = self.store.get_pose(prev_id)
         ci = self.image_cameras[image_idx]
 
         r = register_view(
             self._next_key(),
-            jnp.asarray(fp.keypoints), jnp.asarray(fp.descriptors),
-            jnp.asarray(fp.mask), jnp.asarray(np_),
-            jnp.asarray(fc.keypoints), jnp.asarray(fc.descriptors),
-            jnp.asarray(fc.mask), jnp.asarray(nc),
+            kpp, dp_, mp_, npn,
+            kpc, dc_, mc_, ncn,
             jnp.asarray(xyz), jnp.asarray(has_tri), jnp.asarray(stable),
             jnp.asarray(prev_rvec, jnp.float32), jnp.asarray(prev_tvec, jnp.float32),
             jnp.asarray(self.cam_params[ci]), jnp.asarray(self.cam_models[ci]),
@@ -260,6 +271,7 @@ class SequentialMapper:
             jnp.float32(nt),
             p3p_trials=options.p3p_ransac_trials,
         )
+        r = jax.device_get(r)  # ONE host transfer for all outputs
 
         num_matches = int(r.num_matches)
         num_stable = int(r.num_stable)
@@ -512,25 +524,27 @@ class SequentialMapper:
         obs_img_raw, obs_pt_raw, obs_xy, _ = self.store.observation_table(
             min_track_len=ba_options.min_track_len
         )
-        keep = np.array([int(i) in id_set for i in obs_img_raw], bool)
+        row_of_id = np.full(self.store.num_images, -1, np.int32)
+        for k, iid in enumerate(sel_ids):
+            row_of_id[iid] = k
+        obs_rows = row_of_id[obs_img_raw]
+        keep = obs_rows >= 0
         if keep.sum() < 1:
             return None
         obs_img_raw = obs_img_raw[keep]
         obs_pt_raw = obs_pt_raw[keep]
         obs_xy = obs_xy[keep]
+        obs_image = obs_rows[keep]
         # Points need >= 2 observations inside the problem to be solvable;
         # single-obs points are held fixed.
-        pids, counts = np.unique(obs_pt_raw, return_counts=True)
-        pid_to_row = {int(p): k for k, p in enumerate(pids)}
+        pids, obs_point, counts = np.unique(
+            obs_pt_raw, return_inverse=True, return_counts=True
+        )
+        obs_point = obs_point.astype(np.int32)
         points = self.store.point3D_xyz[pids].astype(np.float32)
         point_fixed = counts < 2
-        gcp_set = set(int(g) for g in gcp_point_ids)
-        for k, p in enumerate(pids):
-            if int(p) in gcp_set:
-                point_fixed[k] = True
-
-        obs_image = np.array([id_to_row[int(i)] for i in obs_img_raw], np.int32)
-        obs_point = np.array([pid_to_row[int(p)] for p in obs_pt_raw], np.int32)
+        if len(gcp_point_ids):
+            point_fixed |= np.isin(pids, np.asarray(list(gcp_point_ids)))
         obs_cam = self.store.image_cameras[obs_img_raw].astype(np.int32)
 
         rp = np.zeros((len(sel_ids), 3), np.float32)
@@ -545,7 +559,7 @@ class SequentialMapper:
             poses, points, self.store.camera_params.astype(np.float32),
             self.store.camera_models, obs_image, obs_point, obs_cam, obs_xy,
             pose_states=states, point_fixed=point_fixed,
-            rot_prior=rp, rot_prior_weight=rw,
+            rot_prior=rp, rot_prior_weight=rw, bucket=True,
         )
         new_poses, new_points, info = bundle_adjust(prob, ba_options)
         self.apply_ba_result(

@@ -303,7 +303,7 @@ def apply_control_points(mapper, control_points, opts: PipelineOptions):
     prob = build_problem(
         poses, points, mapper.store.camera_params.astype(np.float32),
         mapper.store.camera_models, obs_image, obs_point, obs_cam, obs_xy,
-        pose_states=states, point_fixed=point_fixed,
+        pose_states=states, point_fixed=point_fixed, bucket=True,
     )
     new_poses, new_points, info = bundle_adjust(
         prob, BAO(max_num_iterations=opts.ba_global_max_iters,
