@@ -63,6 +63,9 @@ class MapStore:
         # track: point3D id -> list of point2D ids.
         self.tracks = {}
 
+    def sync(self):
+        """No-op on the Python backend (native backend refreshes mirrors)."""
+
     # ------------------------------------------------------------------ ids
 
     @property
@@ -164,6 +167,14 @@ class MapStore:
 
     def track_len(self, point3D_id):
         return len(self.tracks.get(point3D_id, ()))
+
+    def point3D_status(self, point3D_id):
+        """(valid, tri) for one point — safe immediately after writes on
+        every backend (native queries the C++ core directly)."""
+        return (
+            bool(self.point3D_valid[point3D_id]),
+            bool(self.point3D_tri[point3D_id]),
+        )
 
     # ------------------------------------------------------ correspondences
 

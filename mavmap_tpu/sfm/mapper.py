@@ -38,17 +38,21 @@ class SequentialMapper:
         feature_provider,
         loop_detector=None,
         seed=0,
+        store_backend="auto",
     ):
         """image_cameras: (num_images,) camera index per dataset image;
         cam_models/cam_params: per-camera model codes and padded params;
-        feature_provider: FeatureProvider with fixed capacity."""
+        feature_provider: FeatureProvider with fixed capacity;
+        store_backend: 'python' | 'native' | 'auto' (C++ track core)."""
         self.image_cameras = np.asarray(image_cameras, np.int32)
         self.cam_models = np.asarray(cam_models, np.int32)
         self.cam_params = np.asarray(cam_params, np.float32)
         self.provider = feature_provider
         self.loop_detector = loop_detector
 
-        self.store = MapStore()
+        from ..fm.native_map_store import create_map_store
+
+        self.store = create_map_store(store_backend)
         self._store_cam_ids = {}
         self.image_idx_to_id = {}
         self.image_id_to_idx = {}
@@ -240,6 +244,7 @@ class SequentialMapper:
         n_prev_feats = len(prev_p2d)
 
         # Per prev-row track info (vectorized over the point tables).
+        self.store.sync()
         p3d = self.store.point2D_point3D[prev_p2d]
         pids = np.maximum(p3d, 0)
         linked = (p3d >= 0) & self.store.point3D_valid[pids]
@@ -339,7 +344,8 @@ class SequentialMapper:
                     and dc[i] > 0
                 ):
                     pid = self.store.add_correspondence(prev_p2d[i], curr_p2d[jrow])
-                    if self.store.point3D_valid[pid] and not self.store.point3D_tri[pid]:
+                    valid, tri = self.store.point3D_status(pid)
+                    if valid and not tri:
                         self.store.set_point3D(pid, Xnew[i])
 
         self.pair_graph.add(
@@ -469,13 +475,10 @@ class SequentialMapper:
             new_pid = None
             for a, b in zip(obs[:-1], obs[1:]):
                 new_pid = self.store.add_correspondence(a, b)
-            if (
-                new_pid is not None
-                and other.store.point3D_tri[pid]
-                and self.store.point3D_valid[new_pid]
-                and not self.store.point3D_tri[new_pid]
-            ):
-                self.store.set_point3D(new_pid, xyz_all[pid])
+            if new_pid is not None and other.store.point3D_tri[pid]:
+                valid, tri = self.store.point3D_status(new_pid)
+                if valid and not tri:
+                    self.store.set_point3D(new_pid, xyz_all[pid])
 
         self.pair_graph |= other.pair_graph
         if verbose:
