@@ -329,9 +329,15 @@ def _lm_step(prob: BAProblem, poses, points, lam, scale):
     U = U + Ur
     bc = bc + br
 
-    # Damping (Levenberg: lambda * I, plus a floor on V for invertibility).
-    U = U + lam * jnp.eye(6)[None]
-    V = V + lam * jnp.eye(3)[None]
+    # Marquardt damping: lambda * diag(H) (+ small floor) — scales the step
+    # correctly across wildly different parameter magnitudes (radians vs
+    # focal lengths), unlike lambda * I.
+    def damp(M):
+        d = jnp.diagonal(M, axis1=-2, axis2=-1)
+        return M + (lam * (d + 1e-6))[..., None] * jnp.eye(M.shape[-1])
+
+    U = damp(U)
+    V = damp(V)
     # Fixed points: make their block identity so V^-1 is benign; update is
     # masked anyway.
     V = V + (1.0 - prob.point_free)[:, None, None] * jnp.eye(3)[None]
@@ -375,6 +381,204 @@ def _lm_step(prob: BAProblem, poses, points, lam, scale):
     dp = -jnp.einsum("pij,pj->pi", Vinv, bp + Gt_dc)
     dp = dp * prob.point_free[:, None]
     return dc, dp
+
+
+def _obs_jacobians_full(prob: BAProblem, poses, points, cam_params):
+    """Batched residuals + Jacobians incl. intrinsics: r (O,2), Jc (O,2,6),
+    Jp (O,2,3), Jk (O,2,9) — for refine_camera_params."""
+
+    def one(img, pt, cm, uv):
+        def f(pose, point, kp):
+            return _obs_residual(pose, point, kp, prob.cam_models[cm], uv)
+
+        r = f(poses[img], points[pt], cam_params[cm])
+        Jc, Jp, Jk = jax.jacfwd(f, argnums=(0, 1, 2))(
+            poses[img], points[pt], cam_params[cm]
+        )
+        return r, Jc, Jp, Jk
+
+    return jax.vmap(one)(prob.obs_image, prob.obs_point, prob.obs_cam, prob.obs_uv)
+
+
+def _lm_step_selfcal(prob: BAProblem, poses, points, cam_params, cam_free,
+                     lam, scale):
+    """One damped LM solve with SHARED per-camera intrinsics as additional
+    unknowns in the reduced camera system (reference refine_camera_params,
+    bundle_adjustment.cc:370-376: the camera_params block is variable and
+    shared by every image using that camera).
+
+    The reduced system has I pose blocks (9-padded from 6) followed by C
+    intrinsics blocks (9): dimension 9*(I + C). Every observation carries
+    TWO camera-side entries — its pose block and its camera block — and the
+    Schur pair sum runs over the 4 entry combinations per co-observation
+    pair. Returns (dposes, dpoints, dcams).
+    """
+    I = poses.shape[0]
+    P = points.shape[0]
+    C = cam_params.shape[0]
+    B = I + C
+
+    r, Jc, Jp, Jk = _obs_jacobians_full(prob, poses, points, cam_params)
+    w = _cauchy_weight(jnp.sum(r * r, axis=-1), scale)
+    w = jnp.where(prob.obs_mask, w, 0.0)
+
+    Jc = Jc * prob.pose_free[prob.obs_image][:, None, :]
+    Jp = Jp * prob.point_free[prob.obs_point][:, None, None]
+    Jk = Jk * cam_free[prob.obs_cam][:, None, :]
+
+    # 9-padded camera-side entry Jacobians: entry 0 = pose, entry 1 = cam.
+    Jc9 = jnp.concatenate([Jc, jnp.zeros_like(Jc[..., :3])], axis=-1)  # (O,2,9)
+    E = jnp.stack([Jc9, Jk], axis=1)               # (O, 2, 2, 9)
+    blk = jnp.stack([prob.obs_image, I + prob.obs_cam], axis=1)  # (O, 2)
+
+    wE = w[:, None, None, None] * E
+
+    # Direct Hessian: all entry pairs within one observation.
+    H = jnp.zeros((B * B, 9, 9))
+    g = jnp.zeros((B, 9))
+    for a in range(2):
+        for b in range(2):
+            contrib = jnp.einsum("oki,okj->oij", wE[:, a], E[:, b])
+            H = H + jax.ops.segment_sum(
+                contrib, blk[:, a] * B + blk[:, b], num_segments=B * B
+            )
+        g = g + jax.ops.segment_sum(
+            jnp.einsum("oki,ok->oi", wE[:, a], r), blk[:, a], num_segments=B
+        )
+    H = H.reshape(B, B, 9, 9)
+
+    # Point blocks.
+    wJp = w[:, None, None] * Jp
+    V = jax.ops.segment_sum(jnp.einsum("oki,okj->oij", wJp, Jp),
+                            prob.obs_point, num_segments=P)
+    bp = jax.ops.segment_sum(jnp.einsum("oki,ok->oi", wJp, r),
+                             prob.obs_point, num_segments=P)
+    dV = jnp.diagonal(V, axis1=-2, axis2=-1)
+    V = V + (lam * (dV + 1e-6))[..., None] * jnp.eye(3)
+    V = V + (1.0 - prob.point_free)[:, None, None] * jnp.eye(3)[None]
+    Vinv = jnp.linalg.inv(V)
+
+    # Rotation priors (pose blocks only).
+    def rot_one(pose, prior, wgt, free):
+        def f(p):
+            R = rotmat_from_rvec(p[:3])
+            R0 = rotmat_from_rvec(prior)
+            return (wgt * (R - R0)).reshape(9)
+
+        rr = f(pose)
+        Jr = jax.jacfwd(f)(pose) * free[None, :]
+        return Jr.T @ Jr, Jr.T @ rr
+
+    Ur, br = jax.vmap(rot_one)(poses, prob.rot_prior, prob.rot_prior_weight,
+                               prob.pose_free)
+    Ur9 = jnp.zeros((I, 9, 9)).at[:, :6, :6].set(Ur)
+    H = H.at[jnp.arange(I), jnp.arange(I)].add(Ur9)
+    g = g.at[:I, :6].add(br)
+
+    # Camera-point couplings per entry: G_e = E_e^T W Jp (9, 3).
+    G = jnp.einsum("oaki,okj->oaij", wE, Jp)       # (O, 2, 9, 3)
+    T = jnp.einsum("oaij,ojk->oaik", G, Vinv[prob.obs_point])
+
+    # Schur off-diagonal over co-observation pairs x 4 entry combos.
+    S_off = jnp.zeros((B * B, 9, 9))
+    for a in range(2):
+        for b in range(2):
+            Ta = T[prob.pair_a, a]
+            Gb = G[prob.pair_b, b]
+            contrib = jnp.einsum("qij,qkj->qik", Ta, Gb)
+            contrib = jnp.where(prob.pair_mask[:, None, None], contrib, 0.0)
+            pair_blk = blk[prob.pair_a, a] * B + blk[prob.pair_b, b]
+            S_off = S_off + jax.ops.segment_sum(contrib, pair_blk,
+                                                num_segments=B * B)
+
+    g_red = g - sum(
+        jax.ops.segment_sum(
+            jnp.einsum("oij,oj->oi", T[:, a], bp[prob.obs_point]),
+            blk[:, a], num_segments=B,
+        )
+        for a in range(2)
+    )
+
+    S = H - S_off.reshape(B, B, 9, 9)
+    # Marquardt damping on the diagonal blocks (diag of the UNDAMPED H).
+    dH = jnp.diagonal(H[jnp.arange(B), jnp.arange(B)], axis1=-2, axis2=-1)
+    S = S.at[jnp.arange(B), jnp.arange(B)].add(
+        (lam * (dH + 1e-6))[..., None] * jnp.eye(9)
+    )
+
+    # Free mask over the 9B flat system: poses use 6 of 9; cams use cam_free.
+    pose_free9 = jnp.concatenate(
+        [prob.pose_free, jnp.zeros((I, 3))], axis=1
+    )
+    free = jnp.concatenate([pose_free9, cam_free], axis=0).reshape(B * 9)
+    Sd = S.transpose(0, 2, 1, 3).reshape(B * 9, B * 9)
+    Sd = Sd * free[:, None] * free[None, :] + jnp.diag(1.0 - free)
+    gd = g.reshape(B * 9) * free
+    dx = -jnp.linalg.solve(Sd, gd).reshape(B, 9)
+    dc = dx[:I, :6] * prob.pose_free
+    dk = dx[I:] * cam_free
+
+    # Back-substitution.
+    Gt_dx = sum(
+        jax.ops.segment_sum(
+            jnp.einsum("oij,oi->oj", G[:, a], dx[blk[:, a]]),
+            prob.obs_point, num_segments=P,
+        )
+        for a in range(2)
+    )
+    dp = -jnp.einsum("pij,pj->pi", Vinv, bp + Gt_dx)
+    dp = dp * prob.point_free[:, None]
+    return dc, dp, dk
+
+
+def total_cost_selfcal(prob: BAProblem, poses, points, cam_params, scale):
+    def one(img, pt, cm, uv):
+        return _obs_residual(poses[img], points[pt], cam_params[cm],
+                             prob.cam_models[cm], uv)
+
+    r = jax.vmap(one)(prob.obs_image, prob.obs_point, prob.obs_cam, prob.obs_uv)
+    s = jnp.sum(r * r, axis=-1)
+    c2 = scale * scale
+    rho = c2 * jnp.log1p(s / c2)
+    cost = 0.5 * jnp.sum(jnp.where(prob.obs_mask, rho, 0.0))
+    rr = _rot_residuals(prob, poses)
+    return cost + 0.5 * jnp.sum(rr * rr)
+
+
+@partial(jax.jit, static_argnames=("max_iters",))
+def _lm_loop_selfcal(prob: BAProblem, cam_free, scale, lambda_init, lambda_up,
+                     lambda_down, function_tolerance, max_iters: int):
+    def cond(state):
+        _, _, _, _, it, done, _ = state
+        return (it < max_iters) & (~done)
+
+    def body(state):
+        poses, points, cams, lam, it, done, cost = state
+        dc, dp, dk = _lm_step_selfcal(prob, poses, points, cams, cam_free,
+                                      lam, scale)
+        new_poses = poses + dc
+        new_points = points + dp
+        new_cams = cams + dk
+        new_cost = total_cost_selfcal(prob, new_poses, new_points, new_cams, scale)
+        accept = new_cost < cost
+        poses = jnp.where(accept, new_poses, poses)
+        points = jnp.where(accept, new_points, points)
+        cams = jnp.where(accept, new_cams, cams)
+        lam = jnp.clip(jnp.where(accept, lam * lambda_down, lam * lambda_up),
+                       1e-10, 1e8)
+        rel = (cost - new_cost) / jnp.maximum(cost, 1e-20)
+        done = accept & (rel < function_tolerance)
+        cost = jnp.where(accept, new_cost, cost)
+        return (poses, points, cams, lam, it + 1, done, cost)
+
+    init_cost = total_cost_selfcal(prob, prob.poses, prob.points,
+                                   prob.cam_params, scale)
+    state = (prob.poses, prob.points, prob.cam_params,
+             jnp.float32(lambda_init), 0, False, init_cost)
+    poses, points, cams, lam, it, done, cost = jax.lax.while_loop(
+        cond, body, state
+    )
+    return poses, points, cams, cost, init_cost, it
 
 
 @partial(jax.jit, static_argnames=("max_iters",))
@@ -426,24 +630,51 @@ def point_mean_errors(prob: BAProblem, poses, points):
 
 
 def bundle_adjust(prob: BAProblem, options: BAOptions = BAOptions()):
-    """Run LM to convergence. Returns (poses, points, info dict)."""
-    poses, points, cost, init_cost, iters = jax.device_get(
-        _lm_loop(
-            prob,
-            jnp.float32(options.loss_scale_factor),
-            options.lambda_init,
-            options.lambda_up,
-            options.lambda_down,
-            options.function_tolerance,
-            options.max_num_iterations,
+    """Run LM to convergence. Returns (poses, points, info dict).
+
+    With options.refine_camera_params the shared per-camera intrinsics are
+    refined too (self-calibration) and returned in info["cam_params"].
+    """
+    if options.refine_camera_params:
+        from ..models.camera import CAMERA_MODEL_NUM_PARAMS
+
+        cam_free = np.zeros(prob.cam_params.shape, np.float32)
+        models = np.asarray(prob.cam_models)
+        for c in range(len(models)):
+            cam_free[c, : CAMERA_MODEL_NUM_PARAMS[int(models[c])]] = 1.0
+        poses, points, cams, cost, init_cost, iters = jax.device_get(
+            _lm_loop_selfcal(
+                prob,
+                jnp.asarray(cam_free),
+                jnp.float32(options.loss_scale_factor),
+                options.lambda_init,
+                options.lambda_up,
+                options.lambda_down,
+                options.function_tolerance,
+                options.max_num_iterations,
+            )
         )
-    )
+        prob = prob._replace(cam_params=jnp.asarray(cams))
+    else:
+        poses, points, cost, init_cost, iters = jax.device_get(
+            _lm_loop(
+                prob,
+                jnp.float32(options.loss_scale_factor),
+                options.lambda_init,
+                options.lambda_up,
+                options.lambda_down,
+                options.function_tolerance,
+                options.max_num_iterations,
+            )
+        )
     info = {
         "initial_cost": init_cost,
         "final_cost": cost,
         "iterations": iters,
         "num_residuals": int(prob.obs_mask.sum()) * 2,
     }
+    if options.refine_camera_params:
+        info["cam_params"] = np.asarray(prob.cam_params)
     if options.update_point3D_errors:
         info["point_errors"] = point_mean_errors(prob, poses, points)
     return poses, points, info

@@ -159,9 +159,13 @@ def _local_normal_terms(prob: BAProblem, poses, points, lam, scale, axis):
 
     Ur, br = jax.vmap(rot_one)(poses, prob.rot_prior, prob.rot_prior_weight,
                                prob.pose_free)
-    U = U + Ur + lam * jnp.eye(6)[None]
+    U = U + Ur
     bc = bc + br
-    V = V + lam * jnp.eye(3)[None]
+    # Marquardt damping (lambda * diag) — same scheme as ba/core.py.
+    dU = jnp.diagonal(U, axis1=-2, axis2=-1)
+    U = U + (lam * (dU + 1e-6))[..., None] * jnp.eye(6)
+    dV = jnp.diagonal(V, axis1=-2, axis2=-1)
+    V = V + (lam * (dV + 1e-6))[..., None] * jnp.eye(3)
     V = V + (1.0 - prob.point_free)[:, None, None] * jnp.eye(3)[None]
     Vinv = jnp.linalg.inv(V)
 

@@ -119,6 +119,30 @@ def make_uav_scene(
     )
 
 
+def make_multi_camera_scene(num_images=12, seed=0, **kwargs):
+    """Mixed CAM_IDX sequence (BASELINE config: 'multi-camera rig with
+    OPENCV distortion model'): odd frames use a second, distorted camera
+    with different intrinsics."""
+    scene = make_uav_scene(num_images=num_images, seed=seed, **kwargs)
+    w, h = scene.image_size
+    cam2 = np.zeros((1, 9), np.float32)
+    cam2[0, :8] = [620.0, 620.0, w / 2 + 6, h / 2 - 4, -0.15, 0.03, 0.0005, -0.0005]
+    scene.cam_params = np.concatenate([scene.cam_params, cam2], axis=0)
+    scene.cam_models = np.append(scene.cam_models, np.int32(cam.OPENCV))
+    scene.image_cameras = (np.arange(num_images) % 2).astype(np.int32)
+    return scene
+
+
+def imu_priors(scene: SyntheticScene, noise=0.01, seed=0):
+    """Per-image IMU rotation priors: GT rvecs + noise (the 'roll/pitch/yaw
+    from imagedata.txt' pathway of the reference)."""
+    rng = np.random.default_rng(seed + 7)
+    return {
+        i: scene.rvecs[i] + rng.normal(size=3).astype(np.float32) * noise
+        for i in range(len(scene.rvecs))
+    }
+
+
 def render_features(
     scene: SyntheticScene,
     pixel_noise=0.3,

@@ -184,3 +184,43 @@ def test_ba_opencv_model(rng):
     poses, points, info = bundle_adjust(prob, BAOptions(max_num_iterations=60))
     assert float(info["final_cost"]) < 1e-2
     assert np.abs(np.asarray(poses) - poses_gt).max() < 2e-3
+
+
+def test_ba_refine_camera_params(rng):
+    # Self-calibration: recover perturbed intrinsics (reference
+    # refine_camera_params, bundle_adjustment.cc:370-376).
+    K_true = np.zeros((1, 9), np.float32)
+    K_true[0, :4] = [700.0, 700.0, 400.0, 300.0]
+    P = 150
+    X = rng.normal(size=(P, 3)) * np.array([4, 4, 2]) + np.array([0, 0, 12])
+    poses_gt = np.stack([
+        np.concatenate([rng.normal(size=3) * 0.08,
+                        [i * 0.8, 0.2 * (i % 2), 0] + rng.normal(size=3) * 0.05])
+        for i in range(8)
+    ]).astype(np.float32)
+    obs_img, obs_pt, obs_uv = [], [], []
+    for i in range(8):
+        R = np.asarray(rotmat_from_rvec(jnp.asarray(poses_gt[i, :3])))
+        Xc = X @ R.T + poses_gt[i, 3:]
+        uv = np.asarray(cam.world2image(jnp.asarray(Xc, jnp.float32),
+                                        cam.PINHOLE, jnp.asarray(K_true[0])))
+        obs_img += [i] * P
+        obs_pt += list(range(P))
+        obs_uv += list(uv)
+    # Start with wrong focal length (2% off) and offset principal point.
+    K0 = K_true.copy()
+    K0[0, 0] = 714.0
+    K0[0, 1] = 689.0
+    K0[0, 2] = 396.0
+    states = [BA_POSE_FIXED, BA_POSE_FIXED_X] + [0] * 6
+    prob = build_problem(poses_gt.copy(), X.copy(), K0, [cam.PINHOLE],
+                         np.array(obs_img), np.array(obs_pt),
+                         np.zeros(len(obs_img), np.int32), np.array(obs_uv),
+                         pose_states=states)
+    poses, points, info = bundle_adjust(
+        prob, BAOptions(max_num_iterations=60, refine_camera_params=True))
+    K_est = info["cam_params"][0]
+    assert float(info["final_cost"]) < 1e-1
+    assert abs(K_est[0] - 700.0) < 1.0
+    assert abs(K_est[1] - 700.0) < 1.0
+    assert abs(K_est[2] - 400.0) < 2.0

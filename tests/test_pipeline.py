@@ -140,3 +140,58 @@ def test_cli_end_to_end(rng, tmp_path):
     ply = (out / "points3D.ply").read_text().splitlines()
     n_pts = int(ply[2].split()[-1])
     assert n_pts > 100
+
+
+@pytest.mark.slow
+def test_pipeline_multi_camera_rig(rng):
+    """BASELINE config: multi-camera rig with OPENCV model, mixed CAM_IDX."""
+    from mavmap_tpu.utils.synthetic import make_multi_camera_scene
+
+    scene = make_multi_camera_scene(num_images=8, num_points=2000, relief=10.0,
+                                    rows=1, seed=9)
+    feats, _ = render_features(scene, pixel_noise=0.3, clutter=10, seed=9)
+    prov = _provider(feats)
+    opts = PipelineOptions(verbose=False, tri_min_angle=1.0,
+                           init_tri_min_angle=4.0, min_track_len=2,
+                           loop_detection=False)
+    res = run_pipeline(scene.image_cameras, scene.cam_models, scene.cam_params,
+                       prov, opts)
+    m = res.main_mapper
+    assert m.num_proc_images == 8
+    assert m.store.num_cameras == 2  # both cameras registered in the store
+    assert _ate_of(m, scene) < 0.15
+
+
+@pytest.mark.slow
+def test_pipeline_imu_constrained(rng):
+    """BASELINE config: IMU-constrained BA with roll/pitch/yaw priors."""
+    from mavmap_tpu.utils.synthetic import imu_priors
+
+    scene = make_uav_scene(num_images=8, num_points=1800, relief=10.0, rows=1,
+                           seed=10)
+    feats, _ = render_features(scene, pixel_noise=0.4, clutter=15, seed=10)
+    prov = _provider(feats)
+    priors = imu_priors(scene, noise=0.005, seed=10)
+    opts = PipelineOptions(verbose=False, tri_min_angle=1.0,
+                           init_tri_min_angle=4.0, min_track_len=2,
+                           loop_detection=False, constrain_rotation=True,
+                           constrain_rotation_weight=20.0)
+    res = run_pipeline(scene.image_cameras, scene.cam_models, scene.cam_params,
+                       prov, opts, rot_priors=priors)
+    m = res.main_mapper
+    assert m.num_proc_images == 8
+    assert _ate_of(m, scene) < 0.15
+    # Estimated rotations end near the IMU priors. NOTE: the model gauge is
+    # anchored at pose0 = identity while priors live in the IMU world frame;
+    # compare RELATIVE rotations.
+    import jax.numpy as jnp
+    from mavmap_tpu.ops.rotation import rotmat_from_rvec
+
+    reg = sorted(m.image_idx_to_id.keys())
+    R_est = np.asarray(rotmat_from_rvec(jnp.asarray(
+        np.stack([m.store.image_rvecs[m.image_idx_to_id[i]] for i in reg]),
+        jnp.float32)))
+    R_gt = np.asarray(rotmat_from_rvec(jnp.asarray(scene.rvecs[reg])))
+    rel_est = R_est[1:] @ R_est[:-1].transpose(0, 2, 1)
+    rel_gt = R_gt[1:] @ R_gt[:-1].transpose(0, 2, 1)
+    assert np.abs(rel_est - rel_gt).max() < 0.02
