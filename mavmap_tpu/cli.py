@@ -32,6 +32,9 @@ def build_parser():
     p.add_argument("--image-prefix", default="")
     p.add_argument("--image-suffix", default="")
     p.add_argument("--image-ext", default=".png")
+    p.add_argument("--calib-matrix-path", default=None,
+                   help="3x3 calibration matrix file overriding imagedata "
+                        "intrinsics (PINHOLE, reference io.cc:146)")
 
     # Range (mapper.cc:664-686).
     p.add_argument("--start-image-idx", type=int, default=0)
@@ -73,10 +76,15 @@ def build_parser():
                    help="use roll/pitch/yaw from imagedata.txt as IMU priors")
     p.add_argument("--constrain-rotation-weight", type=float, default=50.0)
     p.add_argument("--use-control-points", action="store_true")
+    p.add_argument("--refine-camera-params", action="store_true",
+                   help="refine shared camera intrinsics in the final "
+                        "global bundle adjustment (self-calibration)")
     p.add_argument("--control-point-data-path", default=None)
     p.add_argument("--filter-max-error", type=float, default=0.0)
 
     p.add_argument("--quiet", action="store_true")
+    p.add_argument("--debug", action="store_true",
+                   help="print per-frame gate diagnostics")
     return p
 
 
@@ -99,6 +107,14 @@ def main(argv=None):
     t0 = time.time()
     image_data_path = os.path.join(args.input_path, "imagedata.txt")
     records = read_image_data(image_data_path)
+    if args.calib_matrix_path:
+        from .utils.io import read_calib_matrix
+
+        K = read_calib_matrix(args.calib_matrix_path)
+        for rec in records:
+            rec.camera_idx = 0
+            rec.camera_model = 1  # PINHOLE
+            rec.camera_params = [K[0, 0], K[1, 1], K[0, 2], K[1, 2]]
     cam_models, cam_params, image_cameras = cameras_from_records(records)
     print(f"Loaded {len(records)} images, {len(cam_models)} cameras")
 
@@ -169,6 +185,8 @@ def main(argv=None):
         filter_max_error=args.filter_max_error,
         process_prev_prev=args.process_prev_prev,
         verbose=not args.quiet,
+        refine_camera_params=args.refine_camera_params,
+        debug=args.debug,
     )
 
     result = run_pipeline(

@@ -153,6 +153,23 @@ def detect_and_describe(
     sigmas_arr = jnp.asarray(sigmas, jnp.float32)
     kp_sigma = sigmas_arr[scale_idx]
 
+    # Sub-pixel localization: 1-D quadratic fits on the response map of the
+    # chosen scale (clamped to +-0.5 px; degenerate curvature -> 0 offset).
+    ky = jnp.clip(keypoints[:, 1].astype(jnp.int32), 1, H - 2)
+    kx = jnp.clip(keypoints[:, 0].astype(jnp.int32), 1, W - 2)
+    r0 = responses[scale_idx, ky, kx]
+    rxm = responses[scale_idx, ky, kx - 1]
+    rxp = responses[scale_idx, ky, kx + 1]
+    rym = responses[scale_idx, ky - 1, kx]
+    ryp = responses[scale_idx, ky + 1, kx]
+    dxx = rxm - 2.0 * r0 + rxp
+    dyy = rym - 2.0 * r0 + ryp
+    offx = jnp.where(jnp.abs(dxx) > 1e-12, 0.5 * (rxm - rxp) / dxx, 0.0)
+    offy = jnp.where(jnp.abs(dyy) > 1e-12, 0.5 * (rym - ryp) / dyy, 0.0)
+    offx = jnp.clip(offx, -0.5, 0.5)
+    offy = jnp.clip(offy, -0.5, 0.5)
+    keypoints = keypoints + jnp.stack([offx, offy], axis=-1)
+
     desc = _describe(img, keypoints, kp_sigma)
     K = keypoints.shape[0]
     if K < max_features:

@@ -570,6 +570,15 @@ class SequentialMapper:
             point_errors=np.asarray(info["point_errors"])
             if "point_errors" in info else None,
         )
+        if "cam_params" in info:
+            # Self-calibration: adopt refined intrinsics (store + mapper) and
+            # drop cached normalized coordinates computed with the old ones.
+            new_k = np.asarray(info["cam_params"])[: self.store.num_cameras]
+            self.store.camera_params[:] = new_k
+            for cam_idx, store_id in self._store_cam_ids.items():
+                self.cam_params[cam_idx] = new_k[store_id]
+            self._norm_cache.clear()
+            self._dev_cache.clear()
         return info
 
     def adjust_global_bundle(self, ba_options=None, rot_priors=None,

@@ -45,6 +45,8 @@ class PipelineOptions:
     ba_local_max_iters: int = 15
     ba_global_max_iters: int = 50
     verbose: bool = True
+    refine_camera_params: bool = False
+    debug: bool = False
 
 
 def _mapper_options(opts: PipelineOptions, initial=False):
@@ -90,6 +92,7 @@ def _global_ba(mapper, opts: PipelineOptions, rot_priors=None,
     return mapper.adjust_global_bundle(
         BAOptions(max_num_iterations=opts.ba_global_max_iters,
                   min_track_len=opts.min_track_len,
+                  refine_camera_params=opts.refine_camera_params,
                   update_point3D_errors=update_errors),
         rot_priors=rot_priors if opts.constrain_rotation else None,
         rot_prior_weight=opts.constrain_rotation_weight,
@@ -404,7 +407,7 @@ def run_pipeline(
             continue
 
         # Sequential step (mapper.cc:1088-1148).
-        success = mapper.process(idx, prev_idx, seq_opts)
+        success = mapper.process(idx, prev_idx, seq_opts, debug=opts.debug)
         if not success and opts.loop_detection:
             # Rescue via loop detection (mapper.cc:1107-1108).
             success = mapper.detect_loop(
