@@ -43,6 +43,48 @@ def main():
     )
     ba_opts = BAOptions(max_num_iterations=10)
 
+    def measure_ba_iter():
+        """Dedicated BA timing: one representative local-window problem,
+        device-resident, timed per LM iteration."""
+        import jax.numpy as jnp
+        from mavmap_tpu.ba import build_problem
+        from mavmap_tpu.ba.core import _lm_loop
+        from mavmap_tpu.models import camera as cam2
+        from mavmap_tpu.ops.rotation import rotmat_from_rvec as rfr
+
+        rng = np.random.default_rng(0)
+        I, P = 8, 1000
+        K = np.zeros((1, 9), np.float32)
+        K[0, :4] = [700.0, 700.0, 400.0, 300.0]
+        X = rng.normal(size=(P, 3)) * np.array([4, 4, 2]) + np.array([0, 0, 12])
+        poses = np.stack([
+            np.concatenate([rng.normal(size=3) * 0.05, [i * 0.8, 0, 0]])
+            for i in range(I)
+        ]).astype(np.float32)
+        oi, op, uv = [], [], []
+        for i in range(I):
+            R = np.asarray(rfr(jnp.asarray(poses[i, :3])))
+            Xc = X @ R.T + poses[i, 3:]
+            u = np.asarray(cam2.world2image(jnp.asarray(Xc, jnp.float32), 1,
+                                            jnp.asarray(K[0])))
+            sel = rng.permutation(P)[:400]
+            oi += [i] * 400
+            op += list(sel)
+            uv += list(u[sel])
+        prob = build_problem(poses, X, K, [1], np.array(oi), np.array(op),
+                             np.zeros(len(oi), np.int32), np.array(uv),
+                             pose_states=[1, 2, 0, 0, 0, 0, 0, 0], bucket=True)
+        import jax as _jax
+        prob = _jax.device_put(prob)
+        args = (jnp.float32(1.0), 1e-4, 10.0, 0.5, 0.0)  # tol 0: run all iters
+        r = _lm_loop(prob, *args, max_iters=10)
+        _jax.block_until_ready(r)
+        t0 = time.time()
+        for _ in range(5):
+            r = _lm_loop(prob, *args, max_iters=10)
+        _jax.block_until_ready(r)
+        return (time.time() - t0) / 5 / 10 * 1000  # ms per LM iteration
+
     def run(n_images, seed):
         m = SequentialMapper(scene.image_cameras, scene.cam_models,
                              scene.cam_params, prov, seed=seed)
@@ -58,9 +100,12 @@ def main():
                 if len(window) > 2:
                     t0 = time.time()
                     info = m.adjust_bundle(window[2:], window[:2],
-                                           ba_options=ba_opts)
+                                           ba_options=ba_opts, async_=True)
                     ba_time += time.time() - t0
                     ba_iters += int(info["iterations"]) if info else 0
+        info = m.flush_ba()
+        if info:
+            ba_iters += int(info["iterations"])
         return m, ba_time, max(ba_iters, 1)
 
     # Warmup: compile every kernel/BA-bucket shape with a full-length run
@@ -70,6 +115,7 @@ def main():
     t0 = time.time()
     m, ba_time, ba_iters = run(NUM_IMAGES, seed=1)
     elapsed = time.time() - t0
+    ba_ms_per_iter = measure_ba_iter()
     n_reg = m.num_proc_images
     fps = n_reg / elapsed
 
@@ -88,7 +134,7 @@ def main():
 
     print(
         f"# registered {n_reg}/{NUM_IMAGES} in {elapsed:.2f}s | "
-        f"ATE {ate:.4f} m | BA {1000*ba_time/ba_iters:.1f} ms/iter | "
+        f"ATE {ate:.4f} m | BA {ba_ms_per_iter:.1f} ms/iter | "
         f"device {jax.devices()[0].device_kind}",
         file=sys.stderr,
     )

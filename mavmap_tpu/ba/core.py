@@ -629,6 +629,39 @@ def point_mean_errors(prob: BAProblem, poses, points):
     return jnp.where(n > 0, s / jnp.maximum(n, 1.0), -1.0)
 
 
+def bundle_adjust_async(prob: BAProblem, options: BAOptions = BAOptions()):
+    """Dispatch the LM loop without blocking; returns a finalize() callable.
+
+    On a remote-attached TPU the blocking pull of results costs as much as
+    the solve itself; the sequential mapper dispatches each local BA async
+    and applies the results lazily just before the next solve (one frame of
+    pose staleness, corrected by the next refinement + BA).
+    """
+    fut = _lm_loop(
+        prob,
+        jnp.float32(options.loss_scale_factor),
+        options.lambda_init,
+        options.lambda_up,
+        options.lambda_down,
+        options.function_tolerance,
+        options.max_num_iterations,
+    )
+
+    def finalize():
+        poses, points, cost, init_cost, iters = jax.device_get(fut)
+        info = {
+            "initial_cost": init_cost,
+            "final_cost": cost,
+            "iterations": iters,
+            "num_residuals": int(prob.obs_mask.sum()) * 2,
+        }
+        if options.update_point3D_errors:
+            info["point_errors"] = point_mean_errors(prob, poses, points)
+        return poses, points, info
+
+    return finalize
+
+
 def bundle_adjust(prob: BAProblem, options: BAOptions = BAOptions()):
     """Run LM to convergence. Returns (poses, points, info dict).
 

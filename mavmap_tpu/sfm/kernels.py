@@ -98,23 +98,48 @@ def two_view_init(
     d1 = projection.calc_depth(proj1, X)
     d2 = projection.calc_depth(proj2, X)
 
+    # Packed outputs (see register_view: one RTT per buffer on device_get).
+    f32 = jnp.float32
+    rows = jnp.stack(
+        [matches.astype(f32), valid.astype(f32), eres.inlier_mask.astype(f32),
+         ang, d1, d2],
+        axis=-1,
+    )
+    rows = jnp.concatenate([rows, X], axis=-1)  # (F, 9)
+    scalars = jnp.concatenate(
+        [
+            jnp.stack([
+                num_matches.astype(f32), med_disp,
+                hom.num_inliers.astype(f32), eres.num_inliers.astype(f32),
+                z_comp, mean_angle * (180.0 / jnp.pi),
+            ]),
+            rvec2, t, eres.model.reshape(9),
+        ]
+    )  # (21,)
+    return rows, scalars
+
+
+def unpack_two_view(rows, scalars) -> TwoViewResult:
+    """Host-side unpacking of two_view_init's packed outputs (numpy in)."""
+    import numpy as np
+
     return TwoViewResult(
-        matches=matches,
-        match_valid=valid,
-        num_matches=num_matches,
-        med_disparity=med_disp,
-        num_hom_inliers=hom.num_inliers,
-        E=eres.model,
-        e_inlier=eres.inlier_mask,
-        num_e_inliers=eres.num_inliers,
-        rvec2=rvec2,
-        tvec2=t,
-        z_component=z_comp,
-        points3D=X,
-        tri_angle=ang,
-        mean_tri_angle=mean_angle * (180.0 / jnp.pi),
-        depth1=d1,
-        depth2=d2,
+        matches=rows[:, 0].astype(np.int32),
+        match_valid=rows[:, 1] > 0.5,
+        num_matches=int(scalars[0]),
+        med_disparity=float(scalars[1]),
+        num_hom_inliers=int(scalars[2]),
+        E=scalars[12:21].reshape(3, 3),
+        e_inlier=rows[:, 2] > 0.5,
+        num_e_inliers=int(scalars[3]),
+        rvec2=scalars[6:9],
+        tvec2=scalars[9:12],
+        z_component=float(scalars[4]),
+        points3D=rows[:, 6:9],
+        tri_angle=rows[:, 3],
+        mean_tri_angle=float(scalars[5]),
+        depth1=rows[:, 4],
+        depth2=rows[:, 5],
     )
 
 
@@ -220,24 +245,54 @@ def register_view(
     dp = projection.calc_depth(proj_prev, Xnew)
     dc = projection.calc_depth(proj_curr, Xnew)
 
+    # Pack into TWO arrays: a remote-attached TPU pays ~one RTT per output
+    # buffer on device_get, so 19 small arrays cost ~200 ms/frame while two
+    # packed ones cost ~2 RTTs (unpacked host-side by `unpack_register`).
+    f32 = jnp.float32
+    rows = jnp.stack(
+        [
+            matches.astype(f32), valid.astype(f32), pres.inlier_mask.astype(f32),
+            track_err, err_prev, err_curr, ang, dp, dc,
+        ],
+        axis=-1,
+    )  # (F, 9)
+    rows = jnp.concatenate([rows, Xnew], axis=-1)  # (F, 12)
+    scalars = jnp.concatenate(
+        [
+            jnp.stack([
+                num_matches.astype(f32), med_disp,
+                hom.num_inliers.astype(f32), num_stable.astype(f32),
+                pres.num_inliers.astype(f32), pres.success.astype(f32),
+                final_cost,
+            ]),
+            rvec, tvec,
+        ]
+    )  # (13,)
+    return rows, scalars
+
+
+def unpack_register(rows, scalars) -> RegisterResult:
+    """Host-side unpacking of register_view's packed outputs (numpy in)."""
+    import numpy as np
+
     return RegisterResult(
-        matches=matches,
-        match_valid=valid,
-        num_matches=num_matches,
-        med_disparity=med_disp,
-        num_hom_inliers=hom.num_inliers,
-        num_stable=num_stable,
-        p3p_inlier=pres.inlier_mask,
-        num_p3p_inliers=pres.num_inliers,
-        p3p_success=pres.success,
-        rvec=rvec,
-        tvec=tvec,
-        final_cost=final_cost,
-        track_reproj=track_err,
-        new_points3D=Xnew,
-        new_reproj_prev=err_prev,
-        new_reproj_curr=err_curr,
-        new_tri_angle=ang,
-        new_depth_prev=dp,
-        new_depth_curr=dc,
+        matches=rows[:, 0].astype(np.int32),
+        match_valid=rows[:, 1] > 0.5,
+        num_matches=int(scalars[0]),
+        med_disparity=float(scalars[1]),
+        num_hom_inliers=int(scalars[2]),
+        num_stable=int(scalars[3]),
+        p3p_inlier=rows[:, 2] > 0.5,
+        num_p3p_inliers=int(scalars[4]),
+        p3p_success=bool(scalars[5] > 0.5),
+        rvec=scalars[7:10],
+        tvec=scalars[10:13],
+        final_cost=float(scalars[6]),
+        track_reproj=rows[:, 3],
+        new_points3D=rows[:, 9:12],
+        new_reproj_prev=rows[:, 4],
+        new_reproj_curr=rows[:, 5],
+        new_tri_angle=rows[:, 6],
+        new_depth_prev=rows[:, 7],
+        new_depth_curr=rows[:, 8],
     )

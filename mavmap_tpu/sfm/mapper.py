@@ -25,7 +25,12 @@ import jax.numpy as jnp
 from ..fm import MapStore
 from ..models import camera as cam
 from ..utils.mathx import rel2abs_threshold
-from .kernels import two_view_init, register_view
+from .kernels import (
+    two_view_init,
+    register_view,
+    unpack_two_view,
+    unpack_register,
+)
 from .options import SequentialMapperOptions
 
 
@@ -161,7 +166,7 @@ class SequentialMapper:
         kp2, d2, m2, n2 = self._device_features(second_idx)
         nt = self._norm_threshold(options.ransac_max_reproj_error, first_idx)
 
-        r = two_view_init(
+        rows, scalars = two_view_init(
             self._next_key(),
             kp1, d1, m1, n1,
             kp2, d2, m2, n2,
@@ -171,7 +176,8 @@ class SequentialMapper:
             essential_trials=options.essential_ransac_trials,
             max_depth=options.max_depth,
         )
-        r = jax.device_get(r)  # ONE host transfer for all outputs
+        # Two packed buffers -> two transfers (vs one RTT per output array).
+        r = unpack_two_view(*jax.device_get((rows, scalars)))
 
         num_matches = int(r.num_matches)
         if num_matches < 5:
@@ -276,7 +282,7 @@ class SequentialMapper:
             jnp.float32(nt),
             p3p_trials=options.p3p_ransac_trials,
         )
-        r = jax.device_get(r)  # ONE host transfer for all outputs
+        r = unpack_register(*jax.device_get(r))
 
         num_matches = int(r.num_matches)
         num_stable = int(r.num_stable)
@@ -410,6 +416,8 @@ class SequentialMapper:
         from ..ops.similarity import solve_umeyama, transform_points, transform_pose
 
         options = options or SequentialMapperOptions()
+        self.flush_ba()
+        other.flush_ba()
         before_common = [
             idx for idx in other.image_idx_to_id if self.is_image_processed(idx)
         ]
@@ -490,6 +498,20 @@ class SequentialMapper:
 
     # ------------------------------------------------------------- BA bridge
 
+    def flush_ba(self):
+        """Apply a pending async local-BA result, if any."""
+        if getattr(self, "_pending_ba", None) is None:
+            return None
+        sel_ids, pids, finalize = self._pending_ba
+        self._pending_ba = None
+        new_poses, new_points, info = finalize()
+        self.apply_ba_result(
+            sel_ids, np.asarray(new_poses), pids, np.asarray(new_points),
+            point_errors=np.asarray(info["point_errors"])
+            if "point_errors" in info else None,
+        )
+        return info
+
     def adjust_bundle(
         self,
         free_image_idxs,
@@ -499,6 +521,7 @@ class SequentialMapper:
         rot_priors=None,
         rot_prior_weight=0.0,
         gcp_point_ids=(),
+        async_=False,
     ):
         """Bundle-adjust a subset of images (reference adjust_bundle,
         sequential_mapper.cc:1030-1158). Returns the BA info dict.
@@ -507,8 +530,10 @@ class SequentialMapper:
         gcp_point_ids: store point3D ids to pin.
         """
         from ..ba import BAOptions, build_problem, bundle_adjust
+        from ..ba import bundle_adjust_async
         from ..ba import BA_POSE_FIXED, BA_POSE_FIXED_X
 
+        self.flush_ba()  # results of a previous async solve land first
         ba_options = ba_options or BAOptions()
         sel_idxs = list(free_image_idxs) + list(fixed_image_idxs) + list(fixed_x_image_idxs)
         sel_ids = [self.image_idx_to_id[i] for i in sel_idxs]
@@ -564,6 +589,9 @@ class SequentialMapper:
             pose_states=states, point_fixed=point_fixed,
             rot_prior=rp, rot_prior_weight=rw, bucket=True,
         )
+        if async_ and not ba_options.refine_camera_params:
+            self._pending_ba = (sel_ids, pids, bundle_adjust_async(prob, ba_options))
+            return None
         new_poses, new_points, info = bundle_adjust(prob, ba_options)
         self.apply_ba_result(
             sel_ids, np.asarray(new_poses), pids, np.asarray(new_points),
@@ -602,6 +630,7 @@ class SequentialMapper:
         Returns (image_ids, poses, point_ids, points, obs arrays, cam arrays)
         with image/point rows indexed densely in the returned order.
         """
+        self.flush_ba()
         image_ids = [iid for iid in range(self.store.num_images)
                      if self.store.image_registered[iid]]
         id_to_row = {iid: k for k, iid in enumerate(image_ids)}
@@ -633,10 +662,10 @@ class SequentialMapper:
 
     def apply_ba_result(self, image_ids, poses, point_ids, points,
                         point_errors=None):
-        for k, iid in enumerate(image_ids):
-            self.store.image_rvecs[iid] = poses[k, :3]
-            self.store.image_tvecs[iid] = poses[k, 3:]
-        for k, pid in enumerate(point_ids):
-            self.store.point3D_xyz[pid] = points[k]
-            if point_errors is not None:
-                self.store.point3D_error[pid] = point_errors[k]
+        ids = np.asarray(image_ids, np.int64)
+        self.store.image_rvecs[ids] = poses[: len(ids), :3]
+        self.store.image_tvecs[ids] = poses[: len(ids), 3:]
+        pids = np.asarray(point_ids, np.int64)
+        self.store.point3D_xyz[pids] = points[: len(pids)]
+        if point_errors is not None:
+            self.store.point3D_error[pids] = point_errors[: len(pids)]

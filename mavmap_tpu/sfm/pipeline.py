@@ -84,6 +84,7 @@ def _local_ba(mapper, opts: PipelineOptions, rot_priors=None):
                              min_track_len=opts.min_track_len),
         rot_priors=rot_priors if opts.constrain_rotation else None,
         rot_prior_weight=opts.constrain_rotation_weight,
+        async_=True,
     )
 
 

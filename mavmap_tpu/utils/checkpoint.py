@@ -13,6 +13,8 @@ import numpy as np
 
 def save_map(mapper, path):
     """Serialize a SequentialMapper's reconstruction state to `path`.npz."""
+    if hasattr(mapper, "flush_ba"):
+        mapper.flush_ba()
     s = mapper.store
     track_pids = list(s.tracks.keys())
     track_flat = np.concatenate(
