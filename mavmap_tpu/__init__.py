@@ -27,3 +27,16 @@ if _os.environ.get("MAVMAP_TPU_NO_CONFIG") != "1":
     # matching, voc-tree scoring) request lower precision explicitly at the
     # call site.
     _jax.config.update("jax_default_matmul_precision", "highest")
+
+    # Persistent compilation cache: the mapper's kernels are stable across
+    # processes; without this every CLI/bench invocation pays minutes of
+    # XLA compilation.
+    _cache_dir = _os.environ.get(
+        "MAVMAP_TPU_JAX_CACHE", _os.path.expanduser("~/.cache/mavmap_tpu_jax")
+    )
+    try:
+        _os.makedirs(_cache_dir, exist_ok=True)
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
