@@ -410,15 +410,19 @@ def solve_essential_5pt(points1, points2, num_dk_iters=60, imag_tol=1e-2):
     return E, ok
 
 
-def solve_essential_8pt(points1, points2):
+def solve_essential_8pt(points1, points2, weights=None):
     """Linear 8-point solver with rank-2 projection — the fast path.
 
     Returns ((1, 3, 3), (1,)). With >= 8 points the linear estimate followed
     by SVD projection onto the essential manifold is accurate and an order
     of magnitude cheaper than the 5-point resultant; useful as a RANSAC
-    pre-pass and for non-minimal refits.
+    pre-pass and for non-minimal inlier refits (`weights` masks/weights the
+    constraint rows — zeroing a ROW removes that correspondence, unlike
+    zeroing its coordinates).
     """
     D = _epipolar_design(points1, points2)
+    if weights is not None:
+        D = D * weights[:, None]
     G = D.T @ D
     _, V = jnp.linalg.eigh(G)
     E = V[:, 0].reshape(3, 3)

@@ -80,8 +80,23 @@ def two_view_init(
         sample_size=5, num_trials=essential_trials, threshold=norm_threshold,
         valid_mask=valid,
     )
+    # Non-minimal refit on all inliers: masked 8-point + projection onto the
+    # essential manifold. Averages out minimal-sample noise; keep whichever
+    # of {RANSAC model, refit} has more inliers (the refit can regress in
+    # near-degenerate configurations).
+    E_refit, _ = essential.solve_essential_8pt(
+        x1, x2, weights=eres.inlier_mask.astype(x1.dtype)
+    )
+    E_refit = E_refit[0]
+    refit_res = essential.abs_sampson_residuals(x1, x2, E_refit)
+    refit_inl = (refit_res <= norm_threshold) & valid
+    use_refit = jnp.sum(refit_inl) >= eres.num_inliers
+    E_best = jnp.where(use_refit, E_refit, eres.model)
+    inlier_best = jnp.where(use_refit, refit_inl, eres.inlier_mask)
+    num_inl_best = jnp.maximum(jnp.sum(refit_inl), eres.num_inliers)
+
     R, t, _ = essential.pose_from_essential_matrix(
-        eres.model, x1, x2, eres.inlier_mask, max_depth=max_depth
+        E_best, x1, x2, inlier_best, max_depth=max_depth
     )
     rvec2 = rvec_from_rotmat(R)
 
@@ -92,8 +107,8 @@ def two_view_init(
     X = triangulation.triangulate_points(proj1, proj2, x1, x2)
     ang = triangulation.calc_tri_angles(proj1, proj2, X)
     ang_folded = jnp.minimum(ang, jnp.pi - ang)
-    mean_angle = jnp.sum(jnp.where(eres.inlier_mask, ang_folded, 0.0)) / jnp.maximum(
-        eres.num_inliers, 1
+    mean_angle = jnp.sum(jnp.where(inlier_best, ang_folded, 0.0)) / jnp.maximum(
+        num_inl_best, 1
     )
     d1 = projection.calc_depth(proj1, X)
     d2 = projection.calc_depth(proj2, X)
@@ -101,7 +116,7 @@ def two_view_init(
     # Packed outputs (see register_view: one RTT per buffer on device_get).
     f32 = jnp.float32
     rows = jnp.stack(
-        [matches.astype(f32), valid.astype(f32), eres.inlier_mask.astype(f32),
+        [matches.astype(f32), valid.astype(f32), inlier_best.astype(f32),
          ang, d1, d2],
         axis=-1,
     )
@@ -110,10 +125,10 @@ def two_view_init(
         [
             jnp.stack([
                 num_matches.astype(f32), med_disp,
-                hom.num_inliers.astype(f32), eres.num_inliers.astype(f32),
+                hom.num_inliers.astype(f32), num_inl_best.astype(f32),
                 z_comp, mean_angle * (180.0 / jnp.pi),
             ]),
-            rvec2, t, eres.model.reshape(9),
+            rvec2, t, E_best.reshape(9),
         ]
     )  # (21,)
     return rows, scalars

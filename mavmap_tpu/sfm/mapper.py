@@ -369,6 +369,33 @@ class SequentialMapper:
         f = self._features(image_idx)
         return self.loop_detector.query(f, num_images=num_images)
 
+    def _batch_match_counts(self, image_idx, cand_idxs, options):
+        """Match counts of image_idx against many candidates in ONE batched
+        device call (pre-gate for loop closure — a full process() per
+        candidate costs ~100 ms; most candidates die at the match gate)."""
+        from ..ops.matching import match_brute_force
+
+        if not len(cand_idxs):
+            return np.zeros(0, np.int64)
+        kpq, dq, mq, _ = self._device_features(image_idx)
+        B = int(np.ceil(len(cand_idxs) / 8)) * 8
+        rows = list(cand_idxs) + [cand_idxs[0]] * (B - len(cand_idxs))
+        dstack = jnp.stack([self._device_features(i)[1] for i in rows])
+        mstack = jnp.stack([self._device_features(i)[2] for i in rows])
+
+        @jax.jit
+        def counts(dq, mq, dstack, mstack):
+            def one(d2, m2):
+                _, ok = match_brute_force(
+                    dq, d2, mq, m2, ratio=options.match_max_ratio
+                )
+                return jnp.sum(ok)
+
+            return jax.vmap(one)(dstack, mstack)
+
+        c = np.asarray(counts(dq, mq, dstack, mstack))
+        return c[: len(cand_idxs)]
+
     def detect_loop(self, image_idx, num_images=30, num_nh_images=15,
                     nh_distance=30, options=None, verbose=False):
         """Try to close loops against the most similar processed images.
@@ -376,11 +403,23 @@ class SequentialMapper:
         Mirrors reference detect_loop (sequential_mapper.cc:1161-1215):
         candidates within `nh_distance` frames count against the
         `num_nh_images` neighborhood quota. Returns #successful closures.
+        A batched matching pre-gate skips candidates that cannot pass the
+        min-inlier threshold (beyond the reference, which pays a full
+        process() per candidate).
         """
         if self.loop_detector is None:
             return 0
         options = options or SequentialMapperOptions()
         idxs, scores = self.find_similar_images(image_idx, num_images)
+        # Pre-gate: one batched matcher call over all candidates.
+        cand = [int(i) for i in idxs]
+        match_counts = self._batch_match_counts(image_idx, cand, options)
+        # Absolute min-inlier thresholds bound matches from below; relative
+        # ones cannot be applied before matching, so only require a minimal
+        # P3P sample then.
+        t = options.ransac_min_inlier_threshold
+        min_needed = max(4, int(t)) if t >= 1 else 4
+        idxs = [i for i, c in zip(cand, match_counts) if c >= min_needed]
         num_successes = 0
         num_nh = 0
         for other in idxs:

@@ -49,12 +49,16 @@ class PipelineOptions:
     debug: bool = False
 
 
-def _mapper_options(opts: PipelineOptions, initial=False):
+def _mapper_options(opts: PipelineOptions, initial=False, num_proc=1000000):
+    # Bootstrap ramp: the reference drops min_track_len to 2 until more than
+    # 2 * min_track_len images are processed (mapper.cc:195,236,765-770) —
+    # otherwise the 3rd image could never find 'stable' tracks.
+    mtl = 2 if (initial or num_proc <= 2 * opts.min_track_len) else opts.min_track_len
     return SequentialMapperOptions(
         final_cost_threshold=opts.final_cost_threshold,
         tri_min_angle=opts.init_tri_min_angle if initial else opts.tri_min_angle,
         max_homography_inliers=opts.init_max_homography_inliers if initial else 0.7,
-        min_track_len=2 if initial else opts.min_track_len,
+        min_track_len=mtl,
     )
 
 
@@ -408,6 +412,7 @@ def run_pipeline(
             continue
 
         # Sequential step (mapper.cc:1088-1148).
+        seq_opts = _mapper_options(opts, num_proc=mapper.num_proc_images)
         success = mapper.process(idx, prev_idx, seq_opts, debug=opts.debug)
         if not success and opts.loop_detection:
             # Rescue via loop detection (mapper.cc:1107-1108).

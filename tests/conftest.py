@@ -13,6 +13,13 @@ os.environ["XLA_FLAGS"] = (
 
 import jax  # noqa: E402
 
+# Restrict to the CPU backend entirely: merely initializing the axon TPU
+# backend claims the (single) device grant, which would serialize test runs
+# against real TPU work and can wedge the relay.
+try:
+    jax.config.update("jax_platforms", "cpu")
+except Exception:
+    pass
 jax.config.update("jax_default_device", jax.devices("cpu")[0])
 
 import numpy as np  # noqa: E402
