@@ -1,5 +1,7 @@
 """Long-sequence end-to-end validation: 100 images, loop closures, global BA."""
-import numpy as np, time, jax
+import sys, numpy as np, time, jax
+if 'cpu' in sys.argv:
+    jax.config.update('jax_platforms', 'cpu')
 from mavmap_tpu.utils.synthetic import make_uav_scene, render_features, ate_rmse
 from mavmap_tpu.features import ArrayFeatureProvider
 from mavmap_tpu.sfm.pipeline import run_pipeline, PipelineOptions

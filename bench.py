@@ -18,6 +18,12 @@ import numpy as np
 
 
 def main():
+    import os
+
+    if os.environ.get("MAVMAP_TPU_FORCE_CPU") == "1":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     import jax
 
     from mavmap_tpu.ba import BAOptions
@@ -156,11 +162,19 @@ def _watchdog_main():
     whole benchmarking run."""
     import subprocess
 
-    for attempt in range(3):
+    import os
+
+    for attempt in range(4):
+        env = dict(os.environ)
+        if attempt == 3:
+            # Last resort: the remote TPU session can wedge for long
+            # stretches; a CPU-backend number beats no number.
+            env["MAVMAP_TPU_FORCE_CPU"] = "1"
+            sys.stderr.write("# falling back to CPU backend\n")
         try:
             proc = subprocess.run(
                 [sys.executable, __file__, "--inner"],
-                timeout=420, capture_output=True, text=True,
+                timeout=420, capture_output=True, text=True, env=env,
             )
             out_lines = [l for l in proc.stdout.splitlines() if l.startswith("{")]
             sys.stderr.write(proc.stderr)
