@@ -38,7 +38,16 @@ CAMERA_MODEL_NUM_PARAMS = {PINHOLE: 4, OPENCV: 8, CATA: 9}
 
 
 def camera_model_code(name: str) -> int:
-    """Model name -> integer code (reference camera_models.cc:12-21)."""
+    """Model name (or numeric code string) -> integer code
+    (reference camera_models.cc:12-21). Numeric codes are accepted so
+    imagedataout.txt (which stores codes, like the reference's writer)
+    round-trips through the reader."""
+    name = name.strip()
+    if name.lstrip("+-").isdigit():
+        code = int(name)
+        if code not in CAMERA_MODEL_NAMES:
+            raise KeyError(f"unknown camera model code {code}")
+        return code
     return CAMERA_MODEL_CODES[name.upper()]
 
 

@@ -1,0 +1,79 @@
+"""Output writer tests: imagedataout round-trip, PLY/VRML well-formedness."""
+
+import numpy as np
+import pytest
+
+from mavmap_tpu.features import ArrayFeatureProvider
+from mavmap_tpu.sfm import SequentialMapper, SequentialMapperOptions, outputs
+from mavmap_tpu.utils.io import ImageRecord, read_image_data
+from mavmap_tpu.utils.synthetic import make_uav_scene, render_features
+
+
+@pytest.fixture(scope="module")
+def mapped():
+    scene = make_uav_scene(num_images=4, num_points=1200, relief=10.0, seed=1)
+    feats, _ = render_features(scene, pixel_noise=0.3, seed=1)
+    cap = int(np.ceil(max(len(k) for k, _ in feats) / 256)) * 256
+    prov = ArrayFeatureProvider(feats, capacity=cap)
+    opts = SequentialMapperOptions(tri_min_angle=1.0, final_cost_threshold=2.0,
+                                   essential_ransac_trials=256,
+                                   p3p_ransac_trials=256)
+    m = SequentialMapper(scene.image_cameras, scene.cam_models,
+                         scene.cam_params, prov)
+    assert m.process_initial(0, 1, opts)
+    assert m.process(2, 1, opts)
+    assert m.process(3, 2, opts)
+    records = [
+        ImageRecord(name=f"img{i}", camera_idx=0, camera_model=1,
+                    camera_params=[700.0, 700.0, 400.0, 300.0])
+        for i in range(4)
+    ]
+    return m, records, scene
+
+
+def test_imagedataout_roundtrip(mapped, tmp_path):
+    m, records, scene = mapped
+    path = tmp_path / "imagedataout.txt"
+    outputs.write_image_data(m, records, str(path))
+    # The output is itself a valid imagedata.txt.
+    recs = read_image_data(str(path))
+    assert len(recs) == 4
+    assert recs[0].camera_model == 1 and len(recs[0].camera_params) == 4
+    # TX/TY/TZ columns are world camera centers: image 0 sits at the origin
+    # (the gauge anchor).
+    assert abs(recs[0].tx) < 1e-6 and abs(recs[0].ty) < 1e-6
+
+
+def test_point_cloud_text_and_ply(mapped, tmp_path):
+    m, records, scene = mapped
+    txt = tmp_path / "pts.txt"
+    ply = tmp_path / "pts.ply"
+    outputs.write_point_cloud_data(m, str(txt), min_track_len=2)
+    outputs.write_point_cloud_ply(m, str(ply), min_track_len=2)
+    lines = txt.read_text().strip().splitlines()
+    n_txt = len(lines) - 1
+    header = ply.read_text().splitlines()
+    assert header[0] == "ply"
+    n_ply = int([l for l in header if l.startswith("element vertex")][0].split()[-1])
+    assert n_txt == n_ply > 100
+    # track-len filter reduces the count
+    txt3 = tmp_path / "pts3.txt"
+    outputs.write_point_cloud_data(m, str(txt3), min_track_len=3)
+    assert len(txt3.read_text().strip().splitlines()) - 1 < n_txt
+
+
+def test_vrml_outputs(mapped, tmp_path):
+    m, records, scene = mapped
+    for writer, name in [
+        (outputs.write_camera_models_vrml, "cams.wrl"),
+        (outputs.write_point_cloud_vrml, "pts.wrl"),
+        (outputs.write_camera_connections_vrml, "conn.wrl"),
+    ]:
+        p = tmp_path / name
+        writer(m, str(p))
+        content = p.read_text()
+        assert content.startswith("#VRML V2.0 utf8")
+        assert "Shape" in content
+    # connections: 3 processed pairs -> 3 line segments
+    conn = (tmp_path / "conn.wrl").read_text()
+    assert conn.count(",-1,") >= 3
