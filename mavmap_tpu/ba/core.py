@@ -62,6 +62,14 @@ class BAOptions:
     lambda_init: float = 1e-4
     lambda_up: float = 10.0
     lambda_down: float = 0.5
+    # Reduced-camera-system solver: "dense" (exact Cholesky over the
+    # materialized (6I,6I) Schur matrix — needs the co-observation pair
+    # list), "cg" (matrix-free preconditioned CG — no pair list, scales to
+    # thousands of cameras), or "auto" (cg when the problem has no pair
+    # list or many cameras).
+    solver: str = "auto"
+    cg_max_iters: int = 100
+    cg_tol: float = 1e-3
 
 
 class BAProblem(NamedTuple):
@@ -101,6 +109,7 @@ def build_problem(
     obs_capacity=None,
     pair_capacity=None,
     bucket=False,
+    with_pairs=True,
 ):
     """Host-side problem construction (numpy in, BAProblem of jnp arrays out).
 
@@ -125,7 +134,12 @@ def build_problem(
     # per BA call; a Python per-track loop would dominate frame time).
     order = np.argsort(obs_point, kind="stable")
     sorted_pts = obs_point[order]
-    if O:
+    if not with_pairs:
+        # CG solver: the Schur matvec is matrix-free, no pair list needed
+        # (the O(sum k^2) enumeration is the memory/compute hog at scale).
+        pair_a = np.zeros(0, np.int64)
+        pair_b = np.zeros(0, np.int64)
+    elif O:
         # Group boundaries in the sorted-by-point order.
         new_group = np.empty(O, bool)
         new_group[0] = True
@@ -153,7 +167,7 @@ def build_problem(
     if obs_capacity is None:
         obs_capacity = round_up(O, 4096) if bucket else O
     if pair_capacity is None:
-        pair_capacity = round_up(Q, 16384) if bucket else Q
+        pair_capacity = 0 if not with_pairs else (round_up(Q, 16384) if bucket else Q)
     assert obs_capacity >= O and pair_capacity >= Q
 
     def pad(arr, n, fill=0):
@@ -283,8 +297,21 @@ def _obs_jacobians(prob: BAProblem, poses, points):
     return jax.vmap(one)(prob.obs_image, prob.obs_point, prob.obs_cam, prob.obs_uv)
 
 
-def _lm_step(prob: BAProblem, poses, points, lam, scale):
-    """One damped LM solve: returns (dposes, dpoints)."""
+def _assemble_blocks(prob: BAProblem, poses, points, lam, scale, psum_axis=None):
+    """Shared normal-equation block assembly for both Schur solvers.
+
+    Returns (U, Vinv, bp, G, T, g_red):
+      U     (I,6,6) damped per-image blocks incl. rotation priors,
+      Vinv  (P,3,3) inverse damped point blocks,
+      bp    (P,3)   point gradients,
+      G     (O,6,3) per-observation camera-point coupling Jc^T W Jp,
+      T     (O,6,3) G V^-1,
+      g_red (I,6)   reduced gradient bc - sum_o T_o bp[pt_o].
+
+    With `psum_axis` (inside shard_map, point-disjoint observation
+    sharding), U/g_red are psum-reduced over the mesh axis; V/bp/G/T stay
+    shard-local because every observation of a point lives on one shard.
+    """
     I = poses.shape[0]
     P = points.shape[0]
 
@@ -305,6 +332,9 @@ def _lm_step(prob: BAProblem, poses, points, lam, scale):
     bc = jax.ops.segment_sum(
         jnp.einsum("oki,ok->oi", wJc, r), prob.obs_image, num_segments=I
     )
+    if psum_axis is not None:
+        U = jax.lax.psum(U, psum_axis)
+        bc = jax.lax.psum(bc, psum_axis)
     # Per-point 3x3 blocks + gradient.
     wJp = w[:, None, None] * Jp
     V = jax.ops.segment_sum(
@@ -315,6 +345,7 @@ def _lm_step(prob: BAProblem, poses, points, lam, scale):
     )
 
     # Rotation-prior residuals add to the pose diagonal (rvec part only).
+    # Replicated data in the sharded case: added once, after the psum.
     def rot_one(pose, prior, wgt, free):
         def f(p):
             R = rotmat_from_rvec(p[:3])
@@ -348,6 +379,31 @@ def _lm_step(prob: BAProblem, poses, points, lam, scale):
     G = jnp.einsum("oki,okj->oij", wJc, Jp)  # (O, 6, 3)
     T = jnp.einsum("oij,ojk->oik", G, Vinv[prob.obs_point])  # (O, 6, 3)
 
+    # Reduced gradient: g = bc - sum_o T_o bp[pt_o] scattered to img_o.
+    g_local = jax.ops.segment_sum(
+        jnp.einsum("oij,oj->oi", T, bp[prob.obs_point]), prob.obs_image, num_segments=I
+    )
+    if psum_axis is not None:
+        g_local = jax.lax.psum(g_local, psum_axis)
+    g_red = bc - g_local
+    return U, Vinv, bp, G, T, g_red
+
+
+def _backsub_points(prob: BAProblem, Vinv, bp, G, dc):
+    """dp_p = -V^-1 (bp_p + sum_{o in p} G_o^T dc[img_o])."""
+    P = bp.shape[0]
+    Gt_dc = jax.ops.segment_sum(
+        jnp.einsum("oij,oi->oj", G, dc[prob.obs_image]), prob.obs_point, num_segments=P
+    )
+    dp = -jnp.einsum("pij,pj->pi", Vinv, bp + Gt_dc)
+    return dp * prob.point_free[:, None]
+
+
+def _lm_step(prob: BAProblem, poses, points, lam, scale):
+    """One damped LM solve (exact dense Schur): returns (dposes, dpoints)."""
+    I = poses.shape[0]
+    U, Vinv, bp, G, T, g_red = _assemble_blocks(prob, poses, points, lam, scale)
+
     # Schur: S = U - sum over co-observation pairs T_a G_b^T scattered to
     # (img_a, img_b) blocks.
     Ta = T[prob.pair_a]
@@ -359,11 +415,6 @@ def _lm_step(prob: BAProblem, poses, points, lam, scale):
     S = jnp.zeros((I, I, 6, 6)).at[jnp.arange(I), jnp.arange(I)].set(U)
     S = S - S_off.reshape(I, I, 6, 6)
 
-    # Reduced gradient: g = bc - sum_o T_o bp[pt_o] scattered to img_o.
-    g_red = bc - jax.ops.segment_sum(
-        jnp.einsum("oij,oj->oi", T, bp[prob.obs_point]), prob.obs_image, num_segments=I
-    )
-
     # Dense solve over (6I, 6I) with fixed rows/cols pinned to identity.
     Sd = S.transpose(0, 2, 1, 3).reshape(I * 6, I * 6)
     free = prob.pose_free.reshape(I * 6)
@@ -373,13 +424,89 @@ def _lm_step(prob: BAProblem, poses, points, lam, scale):
     dc = -jnp.linalg.solve(Sd, gd).reshape(I, 6)
     dc = dc * prob.pose_free
 
-    # Back-substitution for points:
-    # dp_p = -V^-1 (bp_p + sum_{o in p} G_o^T dc[img_o]).
-    Gt_dc = jax.ops.segment_sum(
-        jnp.einsum("oij,oi->oj", G, dc[prob.obs_image]), prob.obs_point, num_segments=P
+    dp = _backsub_points(prob, Vinv, bp, G, dc)
+    return dc, dp
+
+
+def _lm_step_cg(prob: BAProblem, poses, points, lam, scale,
+                cg_iters: int, cg_tol, psum_axis=None):
+    """One damped LM solve via MATRIX-FREE preconditioned CG on the reduced
+    camera system — the TPU-native analog of Ceres' ITERATIVE_SCHUR +
+    SCHUR_JACOBI (the reference uses SPARSE_SCHUR,
+    bundle_adjustment.cc:554-569; CG is what scales past ~1k cameras).
+
+    The Schur matvec S x = U x - G V^-1 (G^T x) needs NO co-observation
+    pair enumeration: two segment-sums over observations (gather x by
+    image, reduce by point, scale by V^-1, scatter back by image) — O(obs)
+    per CG iteration instead of O(sum track_len^2) pair scatter.
+
+    Preconditioner: block-Jacobi over the 6x6 diagonal blocks of S
+    (D_i = U_i - sum_{o: img_o = i} T_o G_o^T — per-observation, exact).
+    With `psum_axis` the matvec and the preconditioner blocks are
+    psum-reduced across the mesh (observations sharded point-disjointly,
+    poses replicated): one (I,6) psum per CG iteration rides ICI.
+    """
+    I = poses.shape[0]
+    U, Vinv, bp, G, T, g_red = _assemble_blocks(
+        prob, poses, points, lam, scale, psum_axis=psum_axis
     )
-    dp = -jnp.einsum("pij,pj->pi", Vinv, bp + Gt_dc)
-    dp = dp * prob.point_free[:, None]
+    free = prob.pose_free  # (I, 6)
+
+    # Block-Jacobi preconditioner: exact diagonal blocks of S.
+    D_local = jax.ops.segment_sum(
+        jnp.einsum("oij,okj->oik", T, G), prob.obs_image, num_segments=I
+    )
+    if psum_axis is not None:
+        D_local = jax.lax.psum(D_local, psum_axis)
+    D = U - D_local
+    # Pin fixed components so the blocks stay invertible.
+    D = D * free[:, :, None] * free[:, None, :]
+    D = D + jax.vmap(jnp.diag)(1.0 - free)
+    Minv = jnp.linalg.inv(D)  # (I, 6, 6)
+
+    def matvec(x):  # x (I, 6), free-masked
+        y = jnp.einsum("iab,ib->ia", U, x)
+        t = jnp.einsum("oij,oi->oj", G, x[prob.obs_image])  # (O, 3)
+        tp = jax.ops.segment_sum(t, prob.obs_point, num_segments=bp.shape[0])
+        s = jnp.einsum("pij,pj->pi", Vinv, tp)
+        y2 = jax.ops.segment_sum(
+            jnp.einsum("oij,oj->oi", G, s[prob.obs_point]),
+            prob.obs_image, num_segments=I,
+        )
+        if psum_axis is not None:
+            y2 = jax.lax.psum(y2, psum_axis)
+        return (y - y2) * free
+
+    b = -g_red * free
+    r0n = jnp.sqrt(jnp.sum(b * b))
+    x = jnp.zeros_like(b)
+    r = b
+    z = jnp.einsum("iab,ib->ia", Minv, r) * free
+    p = z
+    rz = jnp.sum(r * z)
+
+    # Early-exit while_loop: every quantity in the predicate is identical
+    # across shards (psum-reduced), so the loop stays collective-consistent
+    # under shard_map without a static trip count.
+    def cg_cond(state):
+        _, r, _, _, it = state
+        return (it < cg_iters) & (jnp.sqrt(jnp.sum(r * r)) > cg_tol * r0n)
+
+    def cg_body(state):
+        x, r, p, rz, it = state
+        Sp = matvec(p)
+        alpha = rz / jnp.maximum(jnp.sum(p * Sp), 1e-30)
+        x = x + alpha * p
+        r = r - alpha * Sp
+        z = jnp.einsum("iab,ib->ia", Minv, r) * free
+        rz_new = jnp.sum(r * z)
+        beta = rz_new / jnp.maximum(rz, 1e-30)
+        p = z + beta * p
+        return x, r, p, rz_new, it + 1
+
+    x, _, _, _, _ = jax.lax.while_loop(cg_cond, cg_body, (x, r, p, rz, 0))
+    dc = x * free
+    dp = _backsub_points(prob, Vinv, bp, G, dc)
     return dc, dp
 
 
@@ -581,16 +708,21 @@ def _lm_loop_selfcal(prob: BAProblem, cam_free, scale, lambda_init, lambda_up,
     return poses, points, cams, cost, init_cost, it
 
 
-@partial(jax.jit, static_argnames=("max_iters",))
+@partial(jax.jit, static_argnames=("max_iters", "solver", "cg_max_iters"))
 def _lm_loop(prob: BAProblem, scale, lambda_init, lambda_up, lambda_down,
-             function_tolerance, max_iters: int):
+             function_tolerance, max_iters: int, solver: str = "dense",
+             cg_max_iters: int = 100, cg_tol: float = 1e-3):
     def cond(state):
         _, _, _, it, done, _ = state
         return (it < max_iters) & (~done)
 
     def body(state):
         poses, points, lam, it, done, cost = state
-        dc, dp = _lm_step(prob, poses, points, lam, scale)
+        if solver == "cg":
+            dc, dp = _lm_step_cg(prob, poses, points, lam, scale,
+                                 cg_max_iters, cg_tol)
+        else:
+            dc, dp = _lm_step(prob, poses, points, lam, scale)
         new_poses = poses + dc
         new_points = points + dp
         new_cost = total_cost(prob, new_poses, new_points, scale)
@@ -629,6 +761,20 @@ def point_mean_errors(prob: BAProblem, poses, points):
     return jnp.where(n > 0, s / jnp.maximum(n, 1.0), -1.0)
 
 
+def _resolve_solver(prob: BAProblem, options: BAOptions) -> str:
+    """Pick the reduced-camera-system solver.
+
+    A problem built with with_pairs=False has no co-observation pair list
+    and can only use CG; "auto" also prefers CG for many-camera problems
+    where materializing the (6I,6I) Schur matrix stops paying off.
+    """
+    if prob.pair_a.shape[0] == 0 and int(prob.obs_mask.shape[0]) > 0:
+        return "cg"
+    if options.solver == "auto":
+        return "cg" if prob.poses.shape[0] >= 64 else "dense"
+    return options.solver
+
+
 def bundle_adjust_async(prob: BAProblem, options: BAOptions = BAOptions()):
     """Dispatch the LM loop without blocking; returns a finalize() callable.
 
@@ -645,6 +791,9 @@ def bundle_adjust_async(prob: BAProblem, options: BAOptions = BAOptions()):
         options.lambda_down,
         options.function_tolerance,
         options.max_num_iterations,
+        solver=_resolve_solver(prob, options),
+        cg_max_iters=options.cg_max_iters,
+        cg_tol=options.cg_tol,
     )
 
     def finalize():
@@ -698,6 +847,9 @@ def bundle_adjust(prob: BAProblem, options: BAOptions = BAOptions()):
                 options.lambda_down,
                 options.function_tolerance,
                 options.max_num_iterations,
+                solver=_resolve_solver(prob, options),
+                cg_max_iters=options.cg_max_iters,
+                cg_tol=options.cg_tol,
             )
         )
     info = {

@@ -28,7 +28,10 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..ba.core import BAProblem, _obs_jacobians, _cauchy_weight, _all_residuals
+from ..ba.core import (
+    BAProblem, _obs_jacobians, _cauchy_weight, _all_residuals,
+    _assemble_blocks, _backsub_points, _lm_step_cg,
+)
 from ..ops.rotation import rotmat_from_rvec
 
 
@@ -38,6 +41,7 @@ def partition_problem(
     num_shards,
     pose_states=None, point_fixed=None,
     rot_prior=None, rot_prior_weight=None,
+    with_pairs=True,
 ):
     """Host-side: split a BA problem into `num_shards` point-disjoint shards.
 
@@ -97,7 +101,7 @@ def partition_problem(
             poses, new_points, cam_params, cam_models, oi, op, oc, uv,
             pose_states=pose_states, point_fixed=new_point_fixed,
             rot_prior=rot_prior, rot_prior_weight=rot_prior_weight,
-            obs_capacity=max_obs,
+            obs_capacity=max_obs, with_pairs=with_pairs,
         )
 
     shards = [build_shard(s) for s in range(num_shards)]
@@ -122,55 +126,12 @@ def partition_problem(
 
 
 def _local_normal_terms(prob: BAProblem, poses, points, lam, scale, axis):
-    """Shard-local contributions + psum-reduced camera system pieces."""
+    """Shard-local contributions + psum-reduced camera system pieces
+    (dense path: materializes the full Schur matrix from the pair list)."""
     I = poses.shape[0]
-    Pn = points.shape[0]
-
-    r, Jc, Jp = _obs_jacobians(prob, poses, points)
-    w = _cauchy_weight(jnp.sum(r * r, axis=-1), scale)
-    w = jnp.where(prob.obs_mask, w, 0.0)
-    Jc = Jc * prob.pose_free[prob.obs_image][:, None, :]
-    Jp = Jp * prob.point_free[prob.obs_point][:, None, None]
-
-    wJc = w[:, None, None] * Jc
-    U = jax.ops.segment_sum(jnp.einsum("oki,okj->oij", wJc, Jc),
-                            prob.obs_image, num_segments=I)
-    bc = jax.ops.segment_sum(jnp.einsum("oki,ok->oi", wJc, r),
-                             prob.obs_image, num_segments=I)
-    U = jax.lax.psum(U, axis)
-    bc = jax.lax.psum(bc, axis)
-
-    wJp = w[:, None, None] * Jp
-    V = jax.ops.segment_sum(jnp.einsum("oki,okj->oij", wJp, Jp),
-                            prob.obs_point, num_segments=Pn)
-    bp = jax.ops.segment_sum(jnp.einsum("oki,ok->oi", wJp, r),
-                             prob.obs_point, num_segments=Pn)
-
-    # Rotation priors: replicated data, add once after the psum.
-    def rot_one(pose, prior, wgt, free):
-        def f(p):
-            R = rotmat_from_rvec(p[:3])
-            R0 = rotmat_from_rvec(prior)
-            return (wgt * (R - R0)).reshape(9)
-
-        rr = f(pose)
-        Jr = jax.jacfwd(f)(pose) * free[None, :]
-        return Jr.T @ Jr, Jr.T @ rr
-
-    Ur, br = jax.vmap(rot_one)(poses, prob.rot_prior, prob.rot_prior_weight,
-                               prob.pose_free)
-    U = U + Ur
-    bc = bc + br
-    # Marquardt damping (lambda * diag) — same scheme as ba/core.py.
-    dU = jnp.diagonal(U, axis1=-2, axis2=-1)
-    U = U + (lam * (dU + 1e-6))[..., None] * jnp.eye(6)
-    dV = jnp.diagonal(V, axis1=-2, axis2=-1)
-    V = V + (lam * (dV + 1e-6))[..., None] * jnp.eye(3)
-    V = V + (1.0 - prob.point_free)[:, None, None] * jnp.eye(3)[None]
-    Vinv = jnp.linalg.inv(V)
-
-    G = jnp.einsum("oki,okj->oij", wJc, Jp)
-    T = jnp.einsum("oij,ojk->oik", G, Vinv[prob.obs_point])
+    U, Vinv, bp, G, T, g_red = _assemble_blocks(
+        prob, poses, points, lam, scale, psum_axis=axis
+    )
 
     Ta = T[prob.pair_a]
     Gb = G[prob.pair_b]
@@ -179,12 +140,6 @@ def _local_normal_terms(prob: BAProblem, poses, points, lam, scale, axis):
     pair_blk = prob.obs_image[prob.pair_a] * I + prob.obs_image[prob.pair_b]
     S_off = jax.ops.segment_sum(contrib, pair_blk, num_segments=I * I)
     S_off = jax.lax.psum(S_off, axis)
-
-    g_red_local = jax.ops.segment_sum(
-        jnp.einsum("oij,oj->oi", T, bp[prob.obs_point]),
-        prob.obs_image, num_segments=I,
-    )
-    g_red = bc - jax.lax.psum(g_red_local, axis)
 
     S = jnp.zeros((I, I, 6, 6)).at[jnp.arange(I), jnp.arange(I)].set(U)
     S = S - S_off.reshape(I, I, 6, 6)
@@ -205,10 +160,16 @@ def _dist_cost(prob: BAProblem, poses, points, scale, axis):
     return total + 0.5 * jnp.sum(rr * rr)
 
 
-def _dist_lm_loop(prob: BAProblem, scale, lambda_init, max_iters, axis):
+def _dist_lm_loop(prob: BAProblem, scale, lambda_init, max_iters, axis,
+                  solver="dense", cg_max_iters=100, cg_tol=1e-3):
     I = prob.poses.shape[0]
 
     def lm_step(poses, points, lam):
+        if solver == "cg":
+            # Matrix-free Schur CG: no pair list, one (I,6)+(I,6,6) psum
+            # per matvec — the path that scales past ~1k cameras.
+            return _lm_step_cg(prob, poses, points, lam, scale,
+                               cg_max_iters, cg_tol, psum_axis=axis)
         S, g_red, G, Vinv, bp = _local_normal_terms(
             prob, poses, points, lam, scale, axis
         )
@@ -217,12 +178,7 @@ def _dist_lm_loop(prob: BAProblem, scale, lambda_init, max_iters, axis):
         Sd = Sd * free[:, None] * free[None, :] + jnp.diag(1.0 - free)
         gd = g_red.reshape(I * 6) * free
         dc = -jnp.linalg.solve(Sd, gd).reshape(I, 6) * prob.pose_free
-        Gt_dc = jax.ops.segment_sum(
-            jnp.einsum("oij,oi->oj", G, dc[prob.obs_image]),
-            prob.obs_point, num_segments=points.shape[0],
-        )
-        dp = -jnp.einsum("pij,pj->pi", Vinv, bp + Gt_dc)
-        dp = dp * prob.point_free[:, None]
+        dp = _backsub_points(prob, Vinv, bp, G, dc)
         return dc, dp
 
     def cond(state):
@@ -251,7 +207,8 @@ def _dist_lm_loop(prob: BAProblem, scale, lambda_init, max_iters, axis):
 
 
 def dist_bundle_adjust(mesh, stacked_prob: BAProblem, scale=1.0,
-                       lambda_init=1e-4, max_iters=20, axis="obs"):
+                       lambda_init=1e-4, max_iters=20, axis="obs",
+                       solver="auto", cg_max_iters=100, cg_tol=1e-3):
     """Run the distributed LM loop over `mesh` (1-D, axis name `axis`).
 
     stacked_prob: BAProblem from `partition_problem` — obs/pair arrays have
@@ -262,12 +219,17 @@ def dist_bundle_adjust(mesh, stacked_prob: BAProblem, scale=1.0,
     """
     n = mesh.devices.size
     per_shard = stacked_prob.points.shape[1] // n if stacked_prob.points.ndim == 3 else stacked_prob.points.shape[0] // n
+    if solver == "auto":
+        npairs = stacked_prob.pair_a.shape[-1]
+        ncams = stacked_prob.poses.shape[-2]
+        solver = "cg" if (npairs == 0 or ncams >= 64) else "dense"
 
     def shard_fn(prob_local):
         # prob_local: leading shard axis of size 1 for per-shard arrays.
         prob_local = jax.tree.map(lambda x: x[0], prob_local)
         poses, points, cost, init_cost, it = _dist_lm_loop(
-            prob_local, jnp.float32(scale), lambda_init, max_iters, axis
+            prob_local, jnp.float32(scale), lambda_init, max_iters, axis,
+            solver=solver, cg_max_iters=cg_max_iters, cg_tol=cg_tol,
         )
         # Points: each shard owns rows [rank*per, (rank+1)*per). Zero the
         # others and psum -> full array (then output replicated).

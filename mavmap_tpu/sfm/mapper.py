@@ -627,6 +627,10 @@ class SequentialMapper:
             self.store.camera_models, obs_image, obs_point, obs_cam, obs_xy,
             pose_states=states, point_fixed=point_fixed,
             rot_prior=rp, rot_prior_weight=rw, bucket=True,
+            # Large (global) problems solve the reduced camera system with
+            # matrix-free Schur CG — skip the O(sum track_len^2) pair
+            # enumeration entirely (it dominates host time and HBM there).
+            with_pairs=len(sel_ids) < 64,
         )
         if async_ and not ba_options.refine_camera_params:
             self._pending_ba = (sel_ids, pids, bundle_adjust_async(prob, ba_options))

@@ -312,6 +312,7 @@ def apply_control_points(mapper, control_points, opts: PipelineOptions):
         poses, points, mapper.store.camera_params.astype(np.float32),
         mapper.store.camera_models, obs_image, obs_point, obs_cam, obs_xy,
         pose_states=states, point_fixed=point_fixed, bucket=True,
+        with_pairs=len(image_ids) < 64,  # large problems -> Schur CG
     )
     new_poses, new_points, info = bundle_adjust(
         prob, BAO(max_num_iterations=opts.ba_global_max_iters,

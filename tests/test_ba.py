@@ -224,3 +224,41 @@ def test_ba_refine_camera_params(rng):
     assert abs(K_est[0] - 700.0) < 1.0
     assert abs(K_est[1] - 700.0) < 1.0
     assert abs(K_est[2] - 400.0) < 2.0
+
+
+def test_ba_cg_matches_dense(rng):
+    """Matrix-free Schur-CG must reach the same solution as the exact
+    dense Schur solve (same LM trajectory up to CG tolerance)."""
+    K, X, poses_gt, oi, op, uv = _make_scene(rng, I=6, P=150, noise=0.3)
+    poses0 = poses_gt.copy()
+    poses0[2:] += rng.normal(size=poses0[2:].shape) * 0.01
+    X0 = X + rng.normal(size=X.shape) * 0.05
+    states = [BA_POSE_FIXED, BA_POSE_FIXED_X] + [0] * (len(poses_gt) - 2)
+    prob = build_problem(poses0, X0, K, [cam.PINHOLE], oi, op,
+                         np.zeros_like(oi), uv, pose_states=states)
+    pd, xd, infod = bundle_adjust(
+        prob, BAOptions(max_num_iterations=25, solver="dense"))
+    pc, xc, infoc = bundle_adjust(
+        prob, BAOptions(max_num_iterations=25, solver="cg", cg_tol=1e-6))
+    assert np.abs(np.asarray(pc) - np.asarray(pd)).max() < 1e-4
+    assert np.abs(np.asarray(xc) - np.asarray(xd)).max() < 1e-3
+    assert abs(float(infoc["final_cost"]) - float(infod["final_cost"])) < \
+        1e-3 * max(1.0, float(infod["final_cost"]))
+
+
+def test_ba_cg_no_pair_list(rng):
+    """A problem built with with_pairs=False (no co-observation pair
+    enumeration at all) converges via CG and recovers ground truth."""
+    K, X, poses_gt, oi, op, uv = _make_scene(rng, I=5, P=120)
+    poses0 = poses_gt.copy()
+    poses0[2:] += rng.normal(size=poses0[2:].shape) * 0.01
+    X0 = X + rng.normal(size=X.shape) * 0.03
+    states = [BA_POSE_FIXED, BA_POSE_FIXED_X] + [0] * (len(poses_gt) - 2)
+    prob = build_problem(poses0, X0, K, [cam.PINHOLE], oi, op,
+                         np.zeros_like(oi), uv, pose_states=states,
+                         with_pairs=False)
+    assert prob.pair_a.shape[0] == 0
+    poses, points, info = bundle_adjust(prob, BAOptions(max_num_iterations=60))
+    assert float(info["final_cost"]) < 1e-3
+    assert np.abs(np.asarray(poses) - poses_gt).max() < 1e-3
+    assert np.abs(np.asarray(points) - X).max() < 1e-2

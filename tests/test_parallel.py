@@ -104,3 +104,26 @@ def test_dryrun_multichip_entrypoint():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(4)
+
+
+def test_dist_ba_cg_matches_single_device(rng, cpu_devices):
+    """Distributed matrix-free Schur-CG (no pair list) matches the exact
+    single-device dense solve."""
+    K, poses0, X0, obs_img, obs_pt, obs_uv, states = _ba_problem(rng)
+    prob = build_problem(poses0, X0, K, [1], obs_img, obs_pt,
+                         np.zeros_like(obs_img), obs_uv, pose_states=states)
+    p1, x1, info = bundle_adjust(prob, BAOptions(max_num_iterations=15,
+                                                 solver="dense"))
+
+    stacked, new_index, per_shard = partition_problem(
+        poses0, X0, K, np.array([1], np.int32), obs_img, obs_pt,
+        np.zeros_like(obs_img), obs_uv, num_shards=8, pose_states=states,
+        with_pairs=False)
+    assert stacked.pair_a.shape[-1] == 0
+    mesh = Mesh(np.array(cpu_devices), ("obs",))
+    p2, x2, cost, init_cost, iters = dist_bundle_adjust(
+        mesh, stacked, max_iters=15, solver="cg", cg_tol=1e-6)
+    assert float(cost) < float(init_cost)
+    assert np.abs(np.asarray(p2) - np.asarray(p1)).max() < 1e-4
+    x2n = np.asarray(x2)[new_index]
+    assert np.abs(x2n - np.asarray(x1)).max() < 1e-3
