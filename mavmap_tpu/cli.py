@@ -46,6 +46,9 @@ def build_parser():
     p.add_argument("--surf-hessian-threshold", type=float, default=1000.0)
     p.add_argument("--surf-num-octaves", type=int, default=4)
     p.add_argument("--surf-num-octave-layers", type=int, default=3)
+    p.add_argument("--surf-upright", action="store_true",
+                   help="skip orientation assignment (U-SURF; the "
+                        "reference's OpenCV SURF computes orientation)")
     p.add_argument("--max-features", type=int, default=2048)
 
     # Matching / gates (mapper.cc:755-806).
@@ -85,6 +88,10 @@ def build_parser():
     p.add_argument("--quiet", action="store_true")
     p.add_argument("--debug", action="store_true",
                    help="print per-frame gate diagnostics")
+    p.add_argument("--debug-path", default="",
+                   help="directory for per-pair match dumps, track-length "
+                        "logs and per-step VRML scenes (reference "
+                        "--debug-path)")
     return p
 
 
@@ -125,6 +132,7 @@ def main(argv=None):
         "hessian_threshold": args.surf_hessian_threshold,
         "num_octaves": args.surf_num_octaves,
         "num_octave_layers": args.surf_num_octave_layers,
+        "upright": args.surf_upright,
         "max_features": args.max_features,
     }
 
@@ -187,6 +195,7 @@ def main(argv=None):
         verbose=not args.quiet,
         refine_camera_params=args.refine_camera_params,
         debug=args.debug,
+        debug_path=args.debug_path,
     )
 
     result = run_pipeline(

@@ -13,10 +13,15 @@ image tricks are a CPU optimization; on TPU the idiomatic formulation is:
   - per-cell top-K selection over a fixed grid replacing the reference's
     iterative per-cell threshold adaptation (same goal — spatially uniform
     feature coverage — without the data-dependent loop);
-  - upright SURF-128 descriptor: 4x4 spatial cells x (sum dx, sum |dx|,
-    sum dy, sum |dy|) split by gradient sign = 128 dims, sampled on a
-    20s x 20s window with bilinear interpolation (orientation assignment
-    is skipped — U-SURF — which is standard for aerial nadir imagery).
+  - SURF-128 descriptor: 4x4 spatial cells x (sum dx, sum |dx|, sum dy,
+    sum |dy|) split by gradient sign = 128 dims, sampled on a 20s x 20s
+    window with bilinear interpolation;
+  - orientation assignment (matching OpenCV SURF's default, which the
+    reference uses): dominant gradient direction from sigma-spaced
+    gradient samples in a 6s radius, Gaussian-weighted, sliding pi/3
+    angular window — the descriptor grid and the sampled gradients are
+    rotated into the local frame. `upright=True` gives U-SURF (cheaper,
+    fine for nadir-only imagery).
 
 Everything below is jit-compiled with static shapes; keypoint counts are
 fixed-capacity with validity masks.
@@ -71,6 +76,7 @@ def _hessian_response(img, sigma):
     jax.jit,
     static_argnames=(
         "num_octaves", "num_octave_layers", "max_features", "grid_size",
+        "upright",
     ),
 )
 def detect_and_describe(
@@ -80,6 +86,7 @@ def detect_and_describe(
     num_octave_layers=3,
     max_features=2048,
     grid_size=3,
+    upright=False,
 ):
     """(H, W) grayscale [0, 255] -> (keypoints (K, 2), scales (K,),
     descriptors (K, 128), mask (K,)).
@@ -170,7 +177,7 @@ def detect_and_describe(
     offy = jnp.clip(offy, -0.5, 0.5)
     keypoints = keypoints + jnp.stack([offx, offy], axis=-1)
 
-    desc = _describe(img, keypoints, kp_sigma)
+    desc = _describe(img, keypoints, kp_sigma, upright=upright)
     K = keypoints.shape[0]
     if K < max_features:
         pad = max_features - K
@@ -181,17 +188,7 @@ def detect_and_describe(
     return keypoints, kp_sigma, desc, mask
 
 
-def _describe(img, keypoints, sigmas, cells=4, samples_per_cell=5):
-    """Upright SURF-128 descriptors via bilinear gradient sampling."""
-    H, W = img.shape
-    # Precompute image gradients once.
-    gx = (jnp.roll(img, -1, axis=1) - jnp.roll(img, 1, axis=1)) * 0.5
-    gy = (jnp.roll(img, -1, axis=0) - jnp.roll(img, 1, axis=0)) * 0.5
-
-    n = cells * samples_per_cell  # 20 samples across the window
-    # Sample offsets in units of sigma: window = 20 sigma.
-    offs = (jnp.arange(n, dtype=jnp.float32) - (n - 1) / 2.0)  # -9.5..9.5
-
+def _bilinear_sampler(H, W):
     def sample(grid_img, ys, xs):
         """Bilinear interpolation at float coords."""
         y0 = jnp.clip(jnp.floor(ys).astype(jnp.int32), 0, H - 2)
@@ -209,18 +206,87 @@ def _describe(img, keypoints, sigmas, cells=4, samples_per_cell=5):
             + v11 * fy * fx
         )
 
+    return sample
+
+
+def _orientations(gx, gy, keypoints, sigmas, num_bins=42):
+    """Dominant orientation per keypoint (K,) radians — SURF-style.
+
+    Gradient samples on a sigma-spaced 13x13 grid within radius 6*sigma,
+    Gaussian-weighted (2.5*sigma); responses binned by angle; a circular
+    sliding window of pi/3 sums the response vectors and the window with
+    the largest magnitude gives the orientation (Bay et al.; OpenCV SURF
+    upright=false — the reference's default configuration).
+    """
+    H, W = gx.shape
+    sample = _bilinear_sampler(H, W)
+    r = jnp.arange(-6, 7, dtype=jnp.float32)  # 13 offsets, units of sigma
+    YO, XO = jnp.meshgrid(r, r, indexing="ij")
+    disk = (YO**2 + XO**2) <= 36.0 + 1e-6
+    wgt = jnp.exp(-(YO**2 + XO**2) / (2.0 * 2.5**2)) * disk  # (13,13)
+
+    win = max(int(round(num_bins / 6.0)), 1)  # pi/3 window in bins
+    kern = jnp.ones((win,), jnp.float32)
+
+    def one(kp, sigma):
+        ys = kp[1] + YO * sigma
+        xs = kp[0] + XO * sigma
+        dx = sample(gx, ys, xs) * wgt
+        dy = sample(gy, ys, xs) * wgt
+        theta = jnp.arctan2(dy, dx)  # [-pi, pi]
+        b = jnp.floor((theta + jnp.pi) / (2.0 * jnp.pi) * num_bins)
+        b = jnp.clip(b, 0, num_bins - 1).astype(jnp.int32).reshape(-1)
+        hx = jax.ops.segment_sum(dx.reshape(-1), b, num_segments=num_bins)
+        hy = jax.ops.segment_sum(dy.reshape(-1), b, num_segments=num_bins)
+        # Circular sliding-window sums via wrap-padded 1-D convolution.
+        hx2 = jnp.concatenate([hx, hx[: win - 1]])
+        hy2 = jnp.concatenate([hy, hy[: win - 1]])
+        sx = jnp.convolve(hx2, kern, mode="valid")[:num_bins]
+        sy = jnp.convolve(hy2, kern, mode="valid")[:num_bins]
+        best = jnp.argmax(sx * sx + sy * sy)
+        return jnp.arctan2(sy[best], sx[best])
+
+    return jax.vmap(one)(keypoints, sigmas)
+
+
+def _describe(img, keypoints, sigmas, cells=4, samples_per_cell=5,
+              upright=False):
+    """SURF-128 descriptors via bilinear gradient sampling; with
+    orientation assignment unless `upright`."""
+    H, W = img.shape
+    # Precompute image gradients once.
+    gx = (jnp.roll(img, -1, axis=1) - jnp.roll(img, 1, axis=1)) * 0.5
+    gy = (jnp.roll(img, -1, axis=0) - jnp.roll(img, 1, axis=0)) * 0.5
+
+    n = cells * samples_per_cell  # 20 samples across the window
+    # Sample offsets in units of sigma: window = 20 sigma.
+    offs = (jnp.arange(n, dtype=jnp.float32) - (n - 1) / 2.0)  # -9.5..9.5
+
+    sample = _bilinear_sampler(H, W)
+
+    if upright:
+        angles = jnp.zeros((keypoints.shape[0],), jnp.float32)
+    else:
+        angles = _orientations(gx, gy, keypoints, sigmas)
+
     # Gaussian weighting over the window.
     wy = jnp.exp(-0.5 * (offs / (n / 4.0)) ** 2)
     weight = wy[:, None] * wy[None, :]
 
-    def one(kp, sigma):
+    def one(kp, sigma, ang):
         step = sigma  # sample spacing = sigma
-        ys = kp[1] + offs * step
-        xs = kp[0] + offs * step
-        Y = jnp.broadcast_to(ys[:, None], (n, n))
-        X = jnp.broadcast_to(xs[None, :], (n, n))
-        dx = sample(gx, Y, X) * weight
-        dy = sample(gy, Y, X) * weight
+        ca = jnp.cos(ang)
+        sa = jnp.sin(ang)
+        # Rotate the sampling grid into the keypoint's local frame.
+        U = jnp.broadcast_to(offs[None, :], (n, n)) * step  # local x
+        V = jnp.broadcast_to(offs[:, None], (n, n)) * step  # local y
+        X = kp[0] + ca * U - sa * V
+        Y = kp[1] + sa * U + ca * V
+        dxi = sample(gx, Y, X)
+        dyi = sample(gy, Y, X)
+        # Rotate gradients into the local frame.
+        dx = (ca * dxi + sa * dyi) * weight
+        dy = (-sa * dxi + ca * dyi) * weight
         # 4x4 cells, each (samples_per_cell x samples_per_cell).
         dx_c = dx.reshape(cells, samples_per_cell, cells, samples_per_cell)
         dy_c = dy.reshape(cells, samples_per_cell, cells, samples_per_cell)
@@ -237,11 +303,11 @@ def _describe(img, keypoints, sigmas, cells=4, samples_per_cell=5):
         d = jnp.stack(feats, axis=-1).reshape(-1)  # (4*4*8 = 128,)
         return d / jnp.maximum(jnp.linalg.norm(d), 1e-8)
 
-    return jax.vmap(one)(keypoints, sigmas)
+    return jax.vmap(one)(keypoints, sigmas, angles)
 
 
 def detect_image(img_array, hessian_threshold=100.0, num_octaves=4,
-                 num_octave_layers=3, max_features=2048):
+                 num_octave_layers=3, max_features=2048, upright=False):
     """Numpy grayscale/RGB image -> (keypoints (N, 2), descriptors (N, 128))."""
     img = np.asarray(img_array)
     if img.ndim == 3:
@@ -252,6 +318,7 @@ def detect_image(img_array, hessian_threshold=100.0, num_octaves=4,
         num_octaves=num_octaves,
         num_octave_layers=num_octave_layers,
         max_features=max_features,
+        upright=upright,
     )
     m = np.asarray(mask)
     return np.asarray(kp)[m], np.asarray(desc)[m]

@@ -29,6 +29,10 @@ class LoopDetector:
         self._bow = np.zeros((0, self.num_words), np.float32)  # raw tf counts
         self._image_idxs = []
         self._idx_to_slot = {}
+        # Forward file: per-image sorted unique visual words + the keypoint
+        # coords of (the first occurrence of) each word — the reference's
+        # VocTreeDatabase forward blocks (voc_tree_database.cc:84-108).
+        self._forward = {}
 
     @property
     def num_images(self):
@@ -39,6 +43,19 @@ class LoopDetector:
         mask = features.mask[: MAX_NUM_VISUAL_WORDS]
         words = np.asarray(self.voc_tree.quantize(desc, mask))
         return words[words >= 0]
+
+    def _quantize_with_coords(self, features):
+        """(sorted unique words (U,), coords (U, 2)) — first occurrence of
+        each word keeps its keypoint, matching the reference's sorted-
+        unique-vw requirement (voc_tree_database.cc:111-146)."""
+        desc = features.descriptors[: MAX_NUM_VISUAL_WORDS]
+        mask = features.mask[: MAX_NUM_VISUAL_WORDS]
+        kp = features.keypoints[: MAX_NUM_VISUAL_WORDS]
+        words = np.asarray(self.voc_tree.quantize(desc, mask))
+        sel = words >= 0
+        words, kp = words[sel], kp[sel]
+        uw, first = np.unique(words, return_index=True)
+        return uw, kp[first].astype(np.float32)
 
     def _bow_of(self, words):
         bow = np.zeros((self.num_words,), np.float32)
@@ -58,6 +75,28 @@ class LoopDetector:
         self._bow[slot] = bow
         self._idx_to_slot[image_idx] = slot
         self._image_idxs.append(image_idx)
+        self._forward[image_idx] = self._quantize_with_coords(features)
+
+    def forward_data(self, image_idx):
+        """Stored (sorted unique words, coords) for an image — the
+        reference's getforwarddata/getdocvw (voc_tree_database.cc:149-164)."""
+        return self._forward[image_idx]
+
+    def match_forward(self, image_idx, features):
+        """Visual-word-intersection correspondences between a stored image
+        and a query (reference VocTreeDatabase::match,
+        voc_tree_database.cc:111-146): keypoints whose descriptors quantize
+        to the same visual word are declared tentative matches — a
+        descriptor-free match path (cheap pre-geometry gate / seed for
+        homography verification).
+
+        Returns (xy_db (M, 2), xy_query (M, 2)).
+        """
+        vw_db, xy_db = self._forward[image_idx]
+        vw_q, xy_q = self._quantize_with_coords(features)
+        common, ia, ib = np.intersect1d(vw_db, vw_q, assume_unique=True,
+                                        return_indices=True)
+        return xy_db[ia], xy_q[ib]
 
     def query(self, features, num_images=30, use_idf=True):
         """Top-N most similar stored images.

@@ -68,6 +68,9 @@ class SequentialMapper:
         self._key = jax.random.PRNGKey(seed)
         self._feat_cache = {}
         self._norm_cache = {}
+        # Optional DebugDumper (sfm/debug.py) — when set, debug=True calls
+        # write the reference's per-pair/per-step artifacts.
+        self.debug_dumper = None
         self._dev_cache = {}
 
     # ------------------------------------------------------------- helpers
@@ -154,7 +157,7 @@ class SequentialMapper:
     # ------------------------------------------------------ process_initial
 
     def process_initial(self, first_idx, second_idx,
-                        options: SequentialMapperOptions = None):
+                        options: SequentialMapperOptions = None, debug=False):
         """Two-view initialization (reference sequential_mapper.cc:46-386)."""
         options = options or SequentialMapperOptions()
         if self.num_proc_images > 0:
@@ -180,6 +183,18 @@ class SequentialMapper:
         r = unpack_two_view(*jax.device_get((rows, scalars)))
 
         num_matches = int(r.num_matches)
+        if debug and self.debug_dumper is not None:
+            # Reference dumps matches before/after RANSAC
+            # (sequential_mapper.cc:82-97, 234-254).
+            f1k = self._features(first_idx).keypoints
+            f2k = self._features(second_idx).keypoints
+            self.debug_dumper.dump_matches(
+                self.num_proc_images, first_idx, second_idx, f1k, f2k,
+                r.matches, r.match_valid, tag="matches-all")
+            self.debug_dumper.dump_matches(
+                self.num_proc_images, first_idx, second_idx, f1k, f2k,
+                r.matches, r.match_valid, inlier=r.e_inlier,
+                tag="matches-inlier")
         if num_matches < 5:
             return False
         # Gate 1: disparity (px).
@@ -296,6 +311,16 @@ class SequentialMapper:
                 f"p3p={int(r.num_p3p_inliers)}/{min_inl} "
                 f"cost={float(r.final_cost):.2f}/{options.final_cost_threshold}"
             )
+        if debug and self.debug_dumper is not None:
+            kpp_h = self._features(prev_image_idx).keypoints
+            kpc_h = self._features(image_idx).keypoints
+            self.debug_dumper.dump_matches(
+                self.num_proc_images, prev_image_idx, image_idx, kpp_h, kpc_h,
+                r.matches, r.match_valid, tag="matches-all")
+            self.debug_dumper.dump_matches(
+                self.num_proc_images, prev_image_idx, image_idx, kpp_h, kpc_h,
+                r.matches, r.match_valid, inlier=r.p3p_inlier,
+                tag="matches-inlier")
         if num_matches == 0:
             return False
         if options.min_disparity > 0 and float(r.med_disparity) < options.min_disparity:
@@ -357,6 +382,15 @@ class SequentialMapper:
         self.pair_graph.add(
             (min(image_idx, prev_image_idx), max(image_idx, prev_image_idx))
         )
+        if debug and self.debug_dumper is not None:
+            # Per-step track-length log + colored VRML scene of the current
+            # image's points (reference sequential_mapper.cc:817-911).
+            self.debug_dumper.dump_track_lengths(
+                self.num_proc_images, image_idx, prev_image_idx,
+                self.store, curr_id)
+            self.debug_dumper.dump_scene_vrml(
+                self.num_proc_images, image_idx, prev_image_idx,
+                self.store, curr_id, min_track_len=options.min_track_len)
         return True
 
     # --------------------------------------------------------- loop closure

@@ -47,6 +47,7 @@ class PipelineOptions:
     verbose: bool = True
     refine_camera_params: bool = False
     debug: bool = False
+    debug_path: str = ""
 
 
 def _mapper_options(opts: PipelineOptions, initial=False, num_proc=1000000):
@@ -356,10 +357,19 @@ def run_pipeline(
     seq_opts = _mapper_options(opts)
     init_opts = _mapper_options(opts, initial=True)
 
+    dumper = None
+    if opts.debug and opts.debug_path:
+        from .debug import DebugDumper
+
+        dumper = DebugDumper(opts.debug_path,
+                             image_reader=getattr(provider, "image", None))
+
     def new_mapper(seed):
         det = LoopDetector(voc_tree) if (voc_tree is not None and opts.loop_detection) else None
-        return SequentialMapper(image_cameras, cam_models, cam_params,
-                                provider, loop_detector=det, seed=seed)
+        m = SequentialMapper(image_cameras, cam_models, cam_params,
+                             provider, loop_detector=det, seed=seed)
+        m.debug_dumper = dumper
+        return m
 
     mappers = [new_mapper(0)]
     mapper = mappers[0]
@@ -379,12 +389,12 @@ def run_pipeline(
             ) else -1
             success = False
             if second >= 0:
-                success = mapper.process_initial(first_idx, second, init_opts)
+                success = mapper.process_initial(first_idx, second, init_opts, debug=opts.debug)
                 idx = max(first_idx, second)
             else:
                 j = first_idx + 1
                 while j <= end:
-                    if mapper.process_initial(first_idx, j, init_opts):
+                    if mapper.process_initial(first_idx, j, init_opts, debug=opts.debug):
                         success = True
                         idx = j
                         break

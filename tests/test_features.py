@@ -78,3 +78,36 @@ def test_array_provider_padding(rng):
     assert f.keypoints.shape == (32, 2)
     assert f.mask.sum() == 10
     assert f.num == 10
+
+
+def test_detector_rotation_invariance(rng):
+    """Orientation assignment: descriptors must match across a 90-degree
+    image rotation (upright mode would fail this)."""
+    img = _blob_image(rng, H=256, W=256)
+    img2 = np.rot90(img).copy()  # (y, x) -> (W-1-x, y)
+    kp1, d1 = detect_image(img, max_features=256)
+    kp2, d2 = detect_image(img2, max_features=256)
+    f1 = Features.from_arrays(kp1, d1, 256)
+    f2 = Features.from_arrays(kp2, d2, 256)
+    mt, ok = matching.match_brute_force(
+        jnp.asarray(f1.descriptors), jnp.asarray(f2.descriptors),
+        jnp.asarray(f1.mask), jnp.asarray(f2.mask),
+    )
+    mt, okn = np.asarray(mt), np.asarray(ok) & f1.mask
+    rows = np.where(okn)[0]
+    assert len(rows) > 30
+    H = img.shape[0]
+    # Ground-truth keypoint mapping under np.rot90.
+    exp_x = f1.keypoints[rows, 1]
+    exp_y = (H - 1) - f1.keypoints[rows, 0]
+    got = f2.keypoints[mt[rows]]
+    good = (np.abs(got[:, 0] - exp_x) < 2.0) & (np.abs(got[:, 1] - exp_y) < 2.0)
+    assert good.mean() > 0.7
+
+
+def test_detector_upright_flag(rng):
+    img = _blob_image(rng)
+    kp1, d1 = detect_image(img, max_features=128, upright=True)
+    kp2, d2 = detect_image(img, max_features=128, upright=False)
+    assert (kp1 == kp2).all()          # detection unchanged
+    assert not np.allclose(d1, d2)     # descriptors differ (rotated frame)

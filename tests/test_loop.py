@@ -74,3 +74,33 @@ def test_loop_detector_duplicate_add(rng):
     det.add_image(0, _features(d))
     det.add_image(0, _features(d))
     assert det.num_images == 1
+
+
+def test_forward_file_vw_intersection_match(rng):
+    """match_forward: keypoints quantizing to the same visual word across
+    two images become tentative correspondences (reference
+    VocTreeDatabase::match semantics)."""
+    base = _desc(rng, 64)
+    tree = train_voc_tree(_desc(rng, 512), branching=4, depth=3, seed=0)
+    det = LoopDetector(tree)
+
+    kp1 = rng.uniform(0, 100, size=(64, 2)).astype(np.float32)
+    f1 = Features.from_arrays(kp1, base, 128)
+    det.add_image(0, f1)
+
+    # Query = same descriptors (slightly perturbed), shifted keypoints.
+    desc2 = base + rng.normal(size=base.shape).astype(np.float32) * 1e-3
+    desc2 /= np.linalg.norm(desc2, axis=-1, keepdims=True)
+    kp2 = kp1 + 5.0
+    f2 = Features.from_arrays(kp2, desc2, 128)
+
+    xy_db, xy_q = det.match_forward(0, f2)
+    assert len(xy_db) == len(xy_q) > 10
+    # Where words collide uniquely, the displacement is exactly (5, 5).
+    disp = xy_q - xy_db
+    frac_exact = (np.abs(disp - 5.0).max(axis=1) < 1e-4).mean()
+    assert frac_exact > 0.5
+
+    vw, xy = det.forward_data(0)
+    assert (np.diff(vw) > 0).all()          # sorted unique
+    assert xy.shape == (len(vw), 2)

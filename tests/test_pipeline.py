@@ -195,3 +195,40 @@ def test_pipeline_imu_constrained(rng):
     rel_est = R_est[1:] @ R_est[:-1].transpose(0, 2, 1)
     rel_gt = R_gt[1:] @ R_gt[:-1].transpose(0, 2, 1)
     assert np.abs(rel_est - rel_gt).max() < 0.02
+
+
+def test_pipeline_debug_dumps(rng, tmp_path):
+    """--debug + --debug-path writes per-pair match tables, track-length
+    logs and per-step VRML scenes (reference sequential_mapper.cc:61-97,
+    817-911 naming scheme)."""
+    scene = make_uav_scene(num_images=5, num_points=1200, relief=10.0,
+                           rows=1, seed=9)
+    feats, _ = render_features(scene, pixel_noise=0.3, clutter=10, seed=9)
+    prov = _provider(feats)
+    dbg = tmp_path / "dbg"
+    opts = PipelineOptions(verbose=False, tri_min_angle=1.0,
+                           init_tri_min_angle=4.0, min_track_len=2,
+                           loop_detection=False, debug=True,
+                           debug_path=str(dbg))
+    res = run_pipeline(scene.image_cameras, scene.cam_models,
+                       scene.cam_params, prov, opts)
+    assert res.main_mapper.num_proc_images >= 4
+    names = os.listdir(dbg)
+    all_m = [n for n in names if n.endswith("matches-all.txt")]
+    inl_m = [n for n in names if n.endswith("matches-inlier.txt")]
+    logs = [n for n in names if n.endswith("track-length.log")]
+    scenes = [n for n in names if n.endswith("scene.wrl")]
+    assert len(all_m) >= 3 and len(inl_m) >= 3
+    assert len(logs) >= 2 and len(scenes) >= 2
+    # Match table parses and inlier rows are a subset of all rows.
+    rows = np.loadtxt(dbg / sorted(all_m)[0], comments="#")
+    assert rows.shape[1] == 5 and len(rows) > 10
+    # VRML has matching point/color counts.
+    txt = (dbg / sorted(scenes)[0]).read_text()
+    assert txt.startswith("#VRML V2.0 utf8")
+    npts = txt.split("point [\n")[1].split("]")[0].strip().count("\n") + 1
+    ncol = txt.split("color [\n")[1].split("]")[0].strip().count("\n") + 1
+    assert npts == ncol > 5
+    # Track-length log format matches the reference's.
+    log = (dbg / sorted(logs)[0]).read_text()
+    assert "Point 3D-ID:" in log and "Track-length:" in log
