@@ -775,7 +775,8 @@ def _resolve_solver(prob: BAProblem, options: BAOptions) -> str:
     return options.solver
 
 
-def bundle_adjust_async(prob: BAProblem, options: BAOptions = BAOptions()):
+def bundle_adjust_async(prob: BAProblem, options: BAOptions = BAOptions(),
+                        num_obs=None):
     """Dispatch the LM loop without blocking; returns a finalize() callable.
 
     On a remote-attached TPU the blocking pull of results costs as much as
@@ -802,7 +803,10 @@ def bundle_adjust_async(prob: BAProblem, options: BAOptions = BAOptions()):
             "initial_cost": init_cost,
             "final_cost": cost,
             "iterations": iters,
-            "num_residuals": int(prob.obs_mask.sum()) * 2,
+            # num_obs hint avoids a device sync that would queue behind the
+            # LM loop (int() of a device scalar forces a blocking reduce).
+            "num_residuals": 2 * (num_obs if num_obs is not None
+                                  else int(prob.obs_mask.sum())),
         }
         if options.update_point3D_errors:
             info["point_errors"] = point_mean_errors(prob, poses, points)
@@ -811,7 +815,8 @@ def bundle_adjust_async(prob: BAProblem, options: BAOptions = BAOptions()):
     return finalize
 
 
-def bundle_adjust(prob: BAProblem, options: BAOptions = BAOptions()):
+def bundle_adjust(prob: BAProblem, options: BAOptions = BAOptions(),
+                  num_obs=None):
     """Run LM to convergence. Returns (poses, points, info dict).
 
     With options.refine_camera_params the shared per-camera intrinsics are
@@ -856,7 +861,8 @@ def bundle_adjust(prob: BAProblem, options: BAOptions = BAOptions()):
         "initial_cost": init_cost,
         "final_cost": cost,
         "iterations": iters,
-        "num_residuals": int(prob.obs_mask.sum()) * 2,
+        "num_residuals": 2 * (num_obs if num_obs is not None
+                              else int(prob.obs_mask.sum())),
     }
     if options.refine_camera_params:
         info["cam_params"] = np.asarray(prob.cam_params)

@@ -26,9 +26,10 @@ def build_parser():
     p.add_argument("--output-path", required=True)
     p.add_argument("--cache-path", default=None)
     p.add_argument("--voc-tree-path", default=None,
-                   help=".npz vocabulary tree (train one with "
-                        "mavmap_tpu.loop.train_voc_tree); omit to disable "
-                        "loop detection")
+                   help="vocabulary tree: .npz (train one with "
+                        "mavmap_tpu.loop.train_voc_tree) or the reference's "
+                        "binary format (drop-in --voc-tree-path compat); "
+                        "omit to disable loop detection")
     p.add_argument("--image-prefix", default="")
     p.add_argument("--image-suffix", default="")
     p.add_argument("--image-ext", default=".png")
@@ -146,6 +147,10 @@ def main(argv=None):
     cache = FeatureCache(cache_path, detector_params, detector=detect,
                          capacity=args.max_features)
 
+    def image_path(image_idx):
+        name = args.image_prefix + records[image_idx].name + args.image_suffix
+        return os.path.join(args.input_path, name + args.image_ext)
+
     class CachedProvider:
         capacity = args.max_features
         descriptor_dim = 128
@@ -153,11 +158,24 @@ def main(argv=None):
         def get(self, image_idx):
             return cache.query(image_idx, records[image_idx].name)
 
+        def image(self, image_idx):
+            """Raw image array (for debug dumps and point-cloud colors)."""
+            try:
+                from PIL import Image
+                import numpy as _np
+
+                return _np.asarray(Image.open(image_path(image_idx)))
+            except Exception:
+                return None
+
     provider = CachedProvider()
 
     voc_tree = None
     if args.voc_tree_path and not args.no_loop_detection:
-        voc_tree = VocTree.load(args.voc_tree_path)
+        if args.voc_tree_path.endswith(".npz"):
+            voc_tree = VocTree.load(args.voc_tree_path)
+        else:
+            voc_tree = VocTree.load_reference_binary(args.voc_tree_path)
 
     rot_priors = None
     if args.constrain_rotation:
@@ -213,7 +231,8 @@ def main(argv=None):
         outputs.write_image_data(
             m, records, os.path.join(args.output_path, f"imagedataout{suffix}.txt"))
         outputs.write_point_cloud_data(
-            m, os.path.join(args.output_path, f"points3D{suffix}.txt"))
+            m, os.path.join(args.output_path, f"points3D{suffix}.txt"),
+            image_reader=provider.image)
         outputs.write_point_cloud_ply(
             m, os.path.join(args.output_path, f"points3D{suffix}.ply"))
         outputs.write_camera_models_vrml(

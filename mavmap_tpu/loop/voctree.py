@@ -56,6 +56,52 @@ class VocTree:
         centers = [data[f"level_{i}"] for i in range(depth)]
         return VocTree(centers, int(data["branching"]), depth)
 
+    @staticmethod
+    def load_reference_binary(path):
+        """Load a voc-tree binary in the reference's format (--voc-tree-path,
+        voc_tree.cc:28-82): int32 header (visualwords, levels, splits,
+        nrcenters), nrcenters x 128 uint8 centroids in breadth-first
+        complete-tree order, nrcenters uint8 cellinfo.
+
+        uint8 centroids are mapped back to the float range the detector
+        produces with the inverse of the reference's descriptor conversion
+        (detection.cc:107-110: floor(d * 127 + 127)); an affine map leaves
+        all nearest-center decisions unchanged. Only complete trees are
+        supported (cellinfo early-termination flags, which published trees
+        don't use, are ignored).
+        """
+        with open(path, "rb") as f:
+            visualwords, levels, splits, nrcenters = np.fromfile(
+                f, np.int32, 4
+            )
+            if levels > 10 or splits > 100000:
+                raise ValueError("corrupt voc-tree binary (header sanity)")
+            voc = np.fromfile(f, np.uint8, int(nrcenters) * 128)
+        voc = voc.reshape(int(nrcenters), 128).astype(np.float32)
+        voc = (voc - 127.0) / 127.0
+        centers = []
+        pos = 0
+        for l in range(int(levels)):
+            n = int(splits) ** (l + 1)
+            centers.append(voc[pos: pos + n])
+            pos += n
+        if pos != int(nrcenters):
+            raise ValueError("voc-tree binary size mismatch (incomplete tree?)")
+        return VocTree(centers, int(splits), int(levels))
+
+    def save_reference_binary(self, path):
+        """Write the reference's binary format (inverse of
+        load_reference_binary; centers clipped to the uint8 range)."""
+        flat = np.concatenate([np.asarray(c) for c in self.centers])
+        voc = np.clip(np.floor(flat * 127.0 + 127.0), 0, 255).astype(np.uint8)
+        n = voc.shape[0]
+        with open(path, "wb") as f:
+            np.asarray(
+                [self.num_words, self.depth, self.branching, n], np.int32
+            ).tofile(f)
+            voc.tofile(f)
+            np.zeros((n,), np.uint8).tofile(f)  # cellinfo: complete tree
+
 
 from functools import partial
 

@@ -213,6 +213,51 @@ def image2normalized(uv_px, model_code, params, eps=1e-12):
     return xyz[..., :2] / safe_z
 
 
+def image2normalized_np(uv_px, model_code, params, eps=1e-12):
+    """Host (numpy) mirror of `image2normalized` for per-frame bookkeeping.
+
+    On a remote-attached TPU the device round-trip (dispatch + pull) for
+    this tiny per-image op costs more than the whole computation; the
+    sequential mapper normalizes keypoints on host instead.
+    """
+    import numpy as np
+
+    uv_px = np.asarray(uv_px, np.float32)
+    params = np.asarray(params, np.float32)
+    f, c = params[:2], params[2:4]
+    uv = (uv_px - c) / f
+    model_code = int(model_code)
+    if model_code == PINHOLE:
+        return uv
+
+    def distortion(xx):
+        k1, k2, p1, p2 = params[4], params[5], params[6], params[7]
+        u, v = xx[..., 0], xx[..., 1]
+        r2 = u * u + v * v
+        radial = k1 * r2 + k2 * r2 * r2
+        du = u * radial + 2.0 * p1 * u * v + p2 * (r2 + 2.0 * u * u)
+        dv = v * radial + 2.0 * p2 * u * v + p1 * (r2 + 2.0 * v * v)
+        return np.stack([du, dv], axis=-1)
+
+    xx = uv.copy()
+    for _ in range(10):
+        xx = uv - distortion(xx)
+    uv = xx
+    if model_code == OPENCV:
+        return uv
+    # CATA: sphere lift then projective division.
+    xi = params[8]
+    r2 = np.sum(uv * uv, axis=-1, keepdims=True)
+    denom = xi + np.sqrt(np.maximum(1.0 + (1.0 - xi * xi) * r2, 0.0))
+    z = np.where(
+        np.abs(denom) < 1e-12,
+        (1.0 - r2) / 2.0,
+        1.0 - xi * (r2 + 1.0) / np.where(np.abs(denom) < 1e-12, 1.0, denom),
+    )
+    safe_z = np.where(np.abs(z) < eps, eps, z)
+    return uv / safe_z
+
+
 def normalize_threshold(threshold, params):
     """Pixel threshold -> normalized-coordinate threshold: t / mean(fx, fy).
 

@@ -106,12 +106,11 @@ class SequentialMapper:
         if image_idx not in self._norm_cache:
             f = self._features(image_idx)
             ci = self.image_cameras[image_idx]
-            n = cam.image2normalized(
-                jnp.asarray(f.keypoints),
-                int(self.cam_models[ci]),
-                jnp.asarray(self.cam_params[ci]),
-            )
-            self._norm_cache[image_idx] = np.asarray(n, np.float32)
+            # Host numpy: a device round-trip for this tiny op costs ~2 RTTs
+            # per frame on a remote-attached TPU.
+            self._norm_cache[image_idx] = cam.image2normalized_np(
+                f.keypoints, int(self.cam_models[ci]), self.cam_params[ci]
+            ).astype(np.float32)
         return self._norm_cache[image_idx]
 
     def _norm_threshold(self, px, image_idx):
@@ -666,10 +665,15 @@ class SequentialMapper:
             # enumeration entirely (it dominates host time and HBM there).
             with_pairs=len(sel_ids) < 64,
         )
+        n_obs = len(obs_xy)
         if async_ and not ba_options.refine_camera_params:
-            self._pending_ba = (sel_ids, pids, bundle_adjust_async(prob, ba_options))
+            self._pending_ba = (
+                sel_ids, pids,
+                bundle_adjust_async(prob, ba_options, num_obs=n_obs),
+            )
             return None
-        new_poses, new_points, info = bundle_adjust(prob, ba_options)
+        new_poses, new_points, info = bundle_adjust(prob, ba_options,
+                                                    num_obs=n_obs)
         self.apply_ba_result(
             sel_ids, np.asarray(new_poses), pids, np.asarray(new_points),
             point_errors=np.asarray(info["point_errors"])

@@ -58,8 +58,9 @@ def write_image_data(mapper, records, path):
             )
 
 
-def _collect_points(mapper, min_track_len=2, max_error=None):
-    pts, errs, lens = [], [], []
+def _collect_points(mapper, min_track_len=2, max_error=None,
+                    with_point_ids=False):
+    pts, errs, lens, pids = [], [], [], []
     for pid, track in mapper.store.tracks.items():
         if not mapper.store.point3D_valid[pid] or not mapper.store.point3D_tri[pid]:
             continue
@@ -71,20 +72,77 @@ def _collect_points(mapper, min_track_len=2, max_error=None):
         pts.append(mapper.store.point3D_xyz[pid])
         errs.append(err)
         lens.append(len(track))
+        pids.append(pid)
     if not pts:
-        return np.zeros((0, 3)), np.zeros(0), np.zeros(0, int)
-    return np.asarray(pts), np.asarray(errs), np.asarray(lens, int)
+        out = (np.zeros((0, 3)), np.zeros(0), np.zeros(0, int))
+    else:
+        out = (np.asarray(pts), np.asarray(errs), np.asarray(lens, int))
+    return out + (pids,) if with_point_ids else out
 
 
-def write_point_cloud_data(mapper, path, min_track_len=2, max_error=None):
-    """Text point cloud: X, Y, Z, TRACK_LEN, MEAN_RESIDUAL
-    (reference sequential_mapper.cc:1543-1643; colors omitted — the TPU
-    build does not decode images on the output path)."""
-    pts, errs, lens = _collect_points(mapper, min_track_len, max_error)
+def _point_colors(mapper, pids, image_reader):
+    """Mean 3x3-window color per 3-D point over all observing images
+    (reference sequential_mapper.cc:1559-1597). Returns (N, 3) uint8."""
+    store = mapper.store
+    img_cache = {}
+
+    def image_of(iid):
+        if iid not in img_cache:
+            idx = mapper.image_id_to_idx[iid]
+            im = image_reader(idx)
+            if im is not None:
+                im = np.asarray(im)
+                if im.ndim == 2:
+                    im = np.stack([im] * 3, -1)
+            img_cache[iid] = im
+        return img_cache[iid]
+
+    colors = np.zeros((len(pids), 3), np.uint8)
+    any_image = False
+    for k, pid in enumerate(pids):
+        acc, n = np.zeros(3), 0
+        for p2d in store.tracks[pid]:
+            iid = int(store.point2D_image[p2d])
+            im = image_of(iid)
+            if im is None:
+                continue
+            any_image = True
+            x, y = store.point2D_xy[p2d]
+            xi, yi = int(round(x)), int(round(y))
+            H, W = im.shape[:2]
+            y0, y1 = max(yi - 1, 0), min(yi + 2, H)
+            x0, x1 = max(xi - 1, 0), min(xi + 2, W)
+            if y0 >= y1 or x0 >= x1:
+                continue
+            acc += im[y0:y1, x0:x1, :3].reshape(-1, 3).mean(axis=0)
+            n += 1
+        if n:
+            colors[k] = np.clip(acc / n, 0, 255)
+    return colors if any_image else None
+
+
+def write_point_cloud_data(mapper, path, min_track_len=2, max_error=None,
+                           image_reader=None):
+    """Text point cloud: X, Y, Z, [R, G, B,] TRACK_LEN, MEAN_RESIDUAL
+    (reference sequential_mapper.cc:1543-1643). Colors are the mean of the
+    3x3 pixel windows around each observation over all observing images —
+    emitted when `image_reader(image_idx) -> HxW[xC] array` is provided
+    (without imagery the color columns are omitted)."""
+    pts, errs, lens, pids = _collect_points(mapper, min_track_len, max_error,
+                                            with_point_ids=True)
+    colors = None
+    if image_reader is not None:
+        colors = _point_colors(mapper, pids, image_reader)
     with open(path, "w") as f:
-        f.write("# X, Y, Z, TRACK_LEN, MEAN_RESIDUAL\n")
-        for p, e, l in zip(pts, errs, lens):
-            f.write(f"{p[0]:.6f}, {p[1]:.6f}, {p[2]:.6f}, {l}, {e:.6f}\n")
+        if colors is None:
+            f.write("# X, Y, Z, TRACK_LEN, MEAN_RESIDUAL\n")
+            for p, e, l in zip(pts, errs, lens):
+                f.write(f"{p[0]:.6f}, {p[1]:.6f}, {p[2]:.6f}, {l}, {e:.6f}\n")
+        else:
+            f.write("# X, Y, Z, R, G, B, TRACK_LEN, MEAN_RESIDUAL\n")
+            for p, c, e, l in zip(pts, colors, errs, lens):
+                f.write(f"{p[0]:.6f}, {p[1]:.6f}, {p[2]:.6f}, "
+                        f"{c[0]}, {c[1]}, {c[2]}, {l}, {e:.6f}\n")
 
 
 def write_point_cloud_ply(mapper, path, min_track_len=2, max_error=None):

@@ -209,10 +209,10 @@ def apply_control_points(mapper, control_points, opts: PipelineOptions):
                 )
             )
             ci = mapper.image_cameras[image_idx]
-            n = cam.image2normalized(
-                jnp.asarray([x, y], jnp.float32),
+            n = cam.image2normalized_np(
+                np.asarray([x, y], np.float32),
                 int(mapper.cam_models[ci]),
-                jnp.asarray(mapper.cam_params[ci]),
+                mapper.cam_params[ci],
             )
             obs_n.append(np.asarray(n))
             obs_px.append((x, y))

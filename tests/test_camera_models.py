@@ -101,3 +101,25 @@ def test_model_registry():
     assert cam.camera_model_code("CATA") == 3
     assert cam.camera_model_name(2) == "OPENCV"
     assert cam.CAMERA_MODEL_NUM_PARAMS[cam.CATA] == 9
+
+
+def test_image2normalized_np_matches_device(rng):
+    """Host numpy mirror must agree with the jax implementation for all
+    camera models (it replaces the device round-trip in the mapper)."""
+    import jax.numpy as jnp
+    from mavmap_tpu.models.camera import (
+        PINHOLE, OPENCV, CATA, pad_params, image2normalized,
+        image2normalized_np,
+    )
+
+    uv = rng.uniform(100, 700, size=(50, 2)).astype(np.float32)
+    params = {
+        PINHOLE: [700.0, 690.0, 400.0, 300.0],
+        OPENCV: [700.0, 690.0, 400.0, 300.0, 0.1, -0.05, 0.001, -0.002],
+        CATA: [700.0, 690.0, 400.0, 300.0, 0.1, -0.05, 0.001, -0.002, 0.8],
+    }
+    for code, p in params.items():
+        pp = np.asarray(pad_params(p))
+        dev = np.asarray(image2normalized(jnp.asarray(uv), code, jnp.asarray(pp)))
+        host = image2normalized_np(uv, code, pp)
+        assert np.abs(dev - host).max() < 1e-5, code

@@ -104,3 +104,33 @@ def test_forward_file_vw_intersection_match(rng):
     vw, xy = det.forward_data(0)
     assert (np.diff(vw) > 0).all()          # sorted unique
     assert xy.shape == (len(vw), 2)
+
+
+def test_voctree_reference_binary_roundtrip(rng, tmp_path):
+    """Reference --voc-tree-path binary format: save -> load -> identical
+    quantization (up to the uint8 center quantization, which the round
+    trip makes exact)."""
+    from mavmap_tpu.loop import VocTree
+
+    tree = train_voc_tree(_desc(rng, 512, d=128), branching=4, depth=3, seed=1)
+    path = tmp_path / "tree.bin"
+    tree.save_reference_binary(str(path))
+    tree2 = VocTree.load_reference_binary(str(path))
+    assert tree2.branching == 4 and tree2.depth == 3
+    assert tree2.num_words == tree.num_words
+
+    # Round-trip again: uint8-quantized centers reproduce exactly.
+    path2 = tmp_path / "tree2.bin"
+    tree2.save_reference_binary(str(path2))
+    assert path.read_bytes() == path2.read_bytes()
+
+    q = _desc(rng, 200, d=128)
+    w1 = np.asarray(tree2.quantize(q))
+    tree3 = VocTree.load_reference_binary(str(path2))
+    w2 = np.asarray(tree3.quantize(q))
+    assert (w1 == w2).all()
+    assert (w1 >= 0).all() and (w1 < tree.num_words).all()
+    # And close to the float tree's words (uint8 center quantization moves
+    # borderline descriptors; random unit vectors are near-worst-case).
+    w0 = np.asarray(tree.quantize(q))
+    assert (w0 == w1).mean() > 0.7

@@ -77,3 +77,31 @@ def test_vrml_outputs(mapped, tmp_path):
     # connections: 3 processed pairs -> 3 line segments
     conn = (tmp_path / "conn.wrl").read_text()
     assert conn.count(",-1,") >= 3
+
+
+def test_point_cloud_colors_from_imagery(mapped, tmp_path):
+    """With an image_reader, the text point cloud carries mean 3x3-window
+    RGB per point (reference sequential_mapper.cc:1559-1597); without one
+    (or with unreadable imagery) the color columns are omitted."""
+    m, records, scene = mapped
+
+    def reader(image_idx):
+        # Synthetic constant-color frames: point color == frame mix.
+        v = 40 * (image_idx + 1)
+        return np.full((600, 800, 3), v, np.uint8)
+
+    path = tmp_path / "colored.txt"
+    outputs.write_point_cloud_data(m, str(path), image_reader=reader)
+    lines = [l for l in path.read_text().splitlines() if not l.startswith("#")]
+    assert len(lines) > 100
+    cols = np.array([[float(x) for x in l.split(",")] for l in lines])
+    assert cols.shape[1] == 8  # X Y Z R G B LEN ERR
+    rgb = cols[:, 3:6]
+    assert (rgb >= 40).all() and (rgb <= 160).all()  # mixes of frame values
+
+    path2 = tmp_path / "plain.txt"
+    outputs.write_point_cloud_data(m, str(path2),
+                                   image_reader=lambda i: None)
+    lines2 = [l for l in path2.read_text().splitlines()
+              if not l.startswith("#")]
+    assert len(lines2[0].split(",")) == 5
