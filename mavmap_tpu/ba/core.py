@@ -797,8 +797,12 @@ def bundle_adjust_async(prob: BAProblem, options: BAOptions = BAOptions(),
         cg_tol=options.cg_tol,
     )
 
-    def finalize():
-        poses, points, cost, init_cost, iters = jax.device_get(fut)
+    def finalize(prefetched=None):
+        """prefetched: host values of `finalize.fut` if the caller already
+        pulled them (batched into another device_get — saves one RTT)."""
+        poses, points, cost, init_cost, iters = (
+            prefetched if prefetched is not None else jax.device_get(fut)
+        )
         info = {
             "initial_cost": init_cost,
             "final_cost": cost,
@@ -812,6 +816,7 @@ def bundle_adjust_async(prob: BAProblem, options: BAOptions = BAOptions(),
             info["point_errors"] = point_mean_errors(prob, poses, points)
         return poses, points, info
 
+    finalize.fut = fut
     return finalize
 
 

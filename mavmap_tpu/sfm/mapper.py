@@ -296,7 +296,17 @@ class SequentialMapper:
             jnp.float32(nt),
             p3p_trials=options.p3p_ransac_trials,
         )
-        r = unpack_register(*jax.device_get(r))
+        # Pull the register result AND any pending async local-BA result in
+        # ONE device_get: on a remote-attached TPU each blocking pull costs
+        # a full round-trip, and the BA solve is guaranteed finished (it was
+        # queued before this kernel on the in-order device stream).
+        pending = getattr(self, "_pending_ba", None)
+        if pending is not None:
+            packed, ba_vals = jax.device_get((r, pending[2].fut))
+            self.flush_ba(prefetched=ba_vals)
+            r = unpack_register(*packed)
+        else:
+            r = unpack_register(*jax.device_get(r))
 
         num_matches = int(r.num_matches)
         num_stable = int(r.num_stable)
@@ -570,13 +580,17 @@ class SequentialMapper:
 
     # ------------------------------------------------------------- BA bridge
 
-    def flush_ba(self):
-        """Apply a pending async local-BA result, if any."""
+    def flush_ba(self, prefetched=None):
+        """Apply a pending async local-BA result, if any.
+
+        prefetched: host values of the pending solve's `fut` when the
+        caller already pulled them in a batched device_get.
+        """
         if getattr(self, "_pending_ba", None) is None:
             return None
         sel_ids, pids, finalize = self._pending_ba
         self._pending_ba = None
-        new_poses, new_points, info = finalize()
+        new_poses, new_points, info = finalize(prefetched)
         self.apply_ba_result(
             sel_ids, np.asarray(new_poses), pids, np.asarray(new_points),
             point_errors=np.asarray(info["point_errors"])

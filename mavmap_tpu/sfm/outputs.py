@@ -218,3 +218,52 @@ def write_camera_connections_vrml(mapper, path):
             if a in idx_to_row and b in idx_to_row:
                 f.write(f"{idx_to_row[a]},{idx_to_row[b]},-1,\n")
         f.write("] } }\n")
+
+
+def write_tracks(mapper, path, image_idx, image_reader, max_num_points=50,
+                 radius=6):
+    """Per-track debug images (reference write_tracks,
+    sequential_mapper.cc:1958-2033): for up to `max_num_points` triangulated
+    points observed in `image_idx`, write one image per observation with
+    the observed keypoint circled, named LEN<track_len>-P3D#<id>-IMG#<id>.jpg.
+    Requires imagery via `image_reader(image_idx) -> array`."""
+    import os
+
+    try:
+        from PIL import Image, ImageDraw
+    except ImportError:  # pragma: no cover
+        return 0
+    os.makedirs(path, exist_ok=True)
+    store = mapper.store
+    store.sync()
+    image_id = mapper.image_idx_to_id[image_idx]
+    p2d_ids = store.point2D_ids_of_image(image_id)
+    num_points = 0
+    num_written = 0
+    for p2d in p2d_ids:
+        if num_points >= max_num_points:
+            break
+        pid = store.point2D_point3D[p2d]
+        if pid < 0 or not store.point3D_valid[pid]:
+            continue
+        num_points += 1
+        track = store.tracks[pid]
+        tl = len(track)
+        for obs_p2d in track:
+            obs_iid = int(store.point2D_image[obs_p2d])
+            obs_idx = mapper.image_id_to_idx[obs_iid]
+            im = image_reader(obs_idx)
+            if im is None:
+                continue
+            im = np.asarray(im).astype(np.uint8)
+            if im.ndim == 2:
+                im = np.stack([im] * 3, -1)
+            img = Image.fromarray(im[..., :3])
+            draw = ImageDraw.Draw(img)
+            x, y = store.point2D_xy[obs_p2d]
+            draw.ellipse([x - radius, y - radius, x + radius, y + radius],
+                         outline=(255, 0, 0), width=2)
+            img.save(os.path.join(
+                path, f"LEN{tl}-P3D#{pid}-IMG#{obs_iid}.jpg"))
+            num_written += 1
+    return num_written

@@ -105,3 +105,19 @@ def test_point_cloud_colors_from_imagery(mapped, tmp_path):
     lines2 = [l for l in path2.read_text().splitlines()
               if not l.startswith("#")]
     assert len(lines2[0].split(",")) == 5
+
+
+def test_write_tracks_debug_images(mapped, tmp_path):
+    """Per-track debug images (reference write_tracks naming scheme)."""
+    m, records, scene = mapped
+
+    def reader(image_idx):
+        return np.full((600, 800), 128, np.uint8)
+
+    import os
+    n = outputs.write_tracks(m, str(tmp_path / "tracks"), 2, reader,
+                             max_num_points=5)
+    assert n > 5
+    names = os.listdir(tmp_path / "tracks")
+    assert all(nm.startswith("LEN") and "-P3D#" in nm and "-IMG#" in nm
+               for nm in names)
