@@ -191,6 +191,16 @@ class MapStore:
         self.point3D_track_len[point3D_id] += 1
         return True
 
+    def add_correspondences_bulk(self, pairs_a, pairs_b):
+        """Batch add_correspondence; returns the surviving point3D ids
+        (NativeMapStore overrides this with one C++ call)."""
+        import numpy as _np
+
+        return _np.asarray(
+            [self.add_correspondence(a, b) for a, b in zip(pairs_a, pairs_b)],
+            _np.int64,
+        )
+
     def add_correspondence(self, p2d_a, p2d_b):
         """Register that two 2-D points observe the same 3-D point.
 

@@ -226,12 +226,12 @@ class SequentialMapper:
         d1 = np.asarray(r.depth1)
         p2d_first = self.store.point2D_ids_of_image(first_id)
         p2d_second = self.store.point2D_ids_of_image(second_id)
-        for i in np.where(inlier)[0]:
-            if d1[i] > 0:
-                pid = self.store.add_correspondence(
-                    p2d_first[i], p2d_second[matches[i]]
-                )
-                self.store.set_point3D(pid, X[i])
+        sel = np.where(inlier & (d1 > 0))[0]
+        pids = self.store.add_correspondences_bulk(
+            p2d_first[sel], p2d_second[matches[sel]]
+        )
+        for k, pid in enumerate(pids):
+            self.store.set_point3D(pid, X[sel[k]])
 
         self.pair_graph.add((min(first_idx, second_idx), max(first_idx, second_idx)))
         return True
@@ -365,28 +365,39 @@ class SequentialMapper:
         dc = np.asarray(r.new_depth_curr)
         min_ang = options.tri_min_angle * np.pi / 180.0
 
+        # Vectorized commit (one native batch call per class of rows; the
+        # per-row Python/ctypes loop used to cost ~8 ms/frame).
         rows = np.where(valid[:n_prev_feats])[0]
-        for i in rows:
-            jrow = matches[i]
-            if has_tri[i]:
-                # Continue track if reprojection in the new view is small
-                # (reference :764-777).
-                if track_err[i] < tri_nt:
-                    self.store.add_correspondence(prev_p2d[i], curr_p2d[jrow])
-            else:
-                # New triangulation (reference :784-810).
-                a = min(ang[i], np.pi - ang[i])
-                if (
-                    ep[i] < tri_nt
-                    and ec[i] < tri_nt
-                    and a >= min_ang
-                    and dp[i] > 0
-                    and dc[i] > 0
-                ):
-                    pid = self.store.add_correspondence(prev_p2d[i], curr_p2d[jrow])
-                    valid, tri = self.store.point3D_status(pid)
-                    if valid and not tri:
-                        self.store.set_point3D(pid, Xnew[i])
+        jrows = matches[rows]
+        # Continue track if reprojection in the new view is small
+        # (reference :764-777).
+        cont = has_tri[rows] & (track_err[rows] < tri_nt)
+        # New triangulation gates (reference :784-810).
+        angf = np.minimum(ang[rows], np.pi - ang[rows])
+        new = (
+            ~has_tri[rows]
+            & (ep[rows] < tri_nt)
+            & (ec[rows] < tri_nt)
+            & (angf >= min_ang)
+            & (dp[rows] > 0)
+            & (dc[rows] > 0)
+        )
+        if cont.any():
+            self.store.add_correspondences_bulk(
+                prev_p2d[rows[cont]], curr_p2d[jrows[cont]]
+            )
+        if new.any():
+            new_rows = rows[new]
+            pids = self.store.add_correspondences_bulk(
+                prev_p2d[new_rows], curr_p2d[jrows[new]]
+            )
+            self.store.sync()
+            fresh = (
+                self.store.point3D_valid[pids]
+                & ~self.store.point3D_tri[pids]
+            )
+            for k in np.where(fresh)[0]:
+                self.store.set_point3D(pids[k], Xnew[new_rows[k]])
 
         self.pair_graph.add(
             (min(image_idx, prev_image_idx), max(image_idx, prev_image_idx))
