@@ -311,3 +311,36 @@ def unpack_register(rows, scalars) -> RegisterResult:
         new_depth_prev=rows[:, 7],
         new_depth_curr=rows[:, 8],
     )
+
+
+@partial(jax.jit, static_argnames=("p3p_trials",))
+def register_view_batch(
+    keys,
+    kpp, desc_p, mask_p, np_,
+    kp_curr, desc_c, mask_c, nc_,
+    xyz, has_tri, stable,
+    prev_rvec, prev_tvec,
+    kparams, model_code,
+    ratio, max_distance, norm_threshold,
+    p3p_trials: int = 500,
+):
+    """register_view vmapped over a candidate axis: the per-candidate
+    inputs (previous image's features/track state/pose, PRNG key) carry a
+    leading batch dim; the current image's features and camera are shared.
+    One device call registers the current image against K loop-closure
+    candidates at once (the reference runs a full sequential process() per
+    candidate, sequential_mapper.cc:1182-1211)."""
+
+    def one(key, kpp1, dp1, mp1, np1, xyz1, ht1, st1, rv1, tv1):
+        return register_view(
+            key, kpp1, dp1, mp1, np1,
+            kp_curr, desc_c, mask_c, nc_,
+            xyz1, ht1, st1, rv1, tv1,
+            kparams, model_code, ratio, max_distance, norm_threshold,
+            p3p_trials=p3p_trials,
+        )
+
+    return jax.vmap(one)(
+        keys, kpp, desc_p, mask_p, np_, xyz, has_tri, stable,
+        prev_rvec, prev_tvec,
+    )

@@ -153,6 +153,31 @@ class SequentialMapper:
     def get_pose(self, image_idx):
         return self.store.get_pose(self.image_idx_to_id[image_idx])
 
+    def _prev_track_state(self, prev_image_idx, options):
+        """Per prev-row track info for registration, capacity-padded:
+        (prev_p2d ids, has_tri (F,), stable (F,), xyz (F,3), rvec, tvec)."""
+        prev_id = self.image_idx_to_id[prev_image_idx]
+        prev_p2d = self.store.point2D_ids_of_image(prev_id)
+        F = self.provider.capacity
+        self.store.sync()
+        p3d = self.store.point2D_point3D[prev_p2d]
+        pids = np.maximum(p3d, 0)
+        linked = (p3d >= 0) & self.store.point3D_valid[pids]
+        has_tri_rows = linked & self.store.point3D_tri[pids]
+        stable_rows = has_tri_rows & (
+            self.store.point3D_track_len[pids] >= options.min_track_len
+        )
+        has_tri = np.zeros(F, bool)
+        stable = np.zeros(F, bool)
+        xyz = np.zeros((F, 3), np.float32)
+        has_tri[: len(prev_p2d)] = has_tri_rows
+        stable[: len(prev_p2d)] = stable_rows
+        xyz[: len(prev_p2d)][has_tri_rows] = self.store.point3D_xyz[
+            pids[has_tri_rows]
+        ]
+        prev_rvec, prev_tvec = self.store.get_pose(prev_id)
+        return prev_p2d, has_tri, stable, xyz, prev_rvec, prev_tvec
+
     # ------------------------------------------------------ process_initial
 
     def process_initial(self, first_idx, second_idx,
@@ -258,30 +283,10 @@ class SequentialMapper:
         nt = self._norm_threshold(options.ransac_max_reproj_error, image_idx)
         tri_nt = self._norm_threshold(options.tri_max_reproj_error, image_idx)
 
-        prev_id = self.image_idx_to_id[prev_image_idx]
-        prev_p2d = self.store.point2D_ids_of_image(prev_id)
-        F = self.provider.capacity
-        n_prev_feats = len(prev_p2d)
-
-        # Per prev-row track info (vectorized over the point tables).
-        self.store.sync()
-        p3d = self.store.point2D_point3D[prev_p2d]
-        pids = np.maximum(p3d, 0)
-        linked = (p3d >= 0) & self.store.point3D_valid[pids]
-        has_tri_rows = linked & self.store.point3D_tri[pids]
-        stable_rows = has_tri_rows & (
-            self.store.point3D_track_len[pids] >= options.min_track_len
+        prev_p2d, has_tri, stable, xyz, prev_rvec, prev_tvec = (
+            self._prev_track_state(prev_image_idx, options)
         )
-        has_tri = np.zeros(F, bool)
-        stable = np.zeros(F, bool)
-        xyz = np.zeros((F, 3), np.float32)
-        has_tri[: len(prev_p2d)] = has_tri_rows
-        stable[: len(prev_p2d)] = stable_rows
-        xyz[: len(prev_p2d)][has_tri_rows] = self.store.point3D_xyz[
-            pids[has_tri_rows]
-        ]
-
-        prev_rvec, prev_tvec = self.store.get_pose(prev_id)
+        n_prev_feats = len(prev_p2d)
         ci = self.image_cameras[image_idx]
 
         r = register_view(
@@ -308,6 +313,16 @@ class SequentialMapper:
         else:
             r = unpack_register(*jax.device_get(r))
 
+        if not self._register_gates(image_idx, prev_image_idx, r, options,
+                                    debug=debug):
+            return False
+        return self._register_commit(image_idx, prev_image_idx, r, options,
+                                     prev_p2d, has_tri, tri_nt, debug=debug)
+
+    def _register_gates(self, image_idx, prev_image_idx, r, options,
+                        debug=False):
+        """Host-side failure gates on the pulled register_view scalars
+        (reference sequential_mapper.cc:389-732)."""
         num_matches = int(r.num_matches)
         num_stable = int(r.num_stable)
         min_inl = rel2abs_threshold(options.ransac_min_inlier_threshold, num_stable)
@@ -344,7 +359,13 @@ class SequentialMapper:
             return False
         if float(r.final_cost) > options.final_cost_threshold:
             return False
+        return True
 
+    def _register_commit(self, image_idx, prev_image_idx, r, options,
+                         prev_p2d, has_tri, tri_nt, debug=False):
+        """Commit a successful registration: pose, track continuations, new
+        triangulations, pair graph (reference :743-934)."""
+        n_prev_feats = len(prev_p2d)
         # Commit pose.
         already = self.is_image_processed(image_idx)
         if already:
@@ -474,25 +495,106 @@ class SequentialMapper:
         t = options.ransac_min_inlier_threshold
         min_needed = max(4, int(t)) if t >= 1 else 4
         idxs = [i for i, c in zip(cand, match_counts) if c >= min_needed]
-        num_successes = 0
-        num_nh = 0
+
+        # Pre-filter to candidates that could actually run, then register
+        # the current image against ALL of them in ONE batched device call
+        # (vs the reference's full process() per candidate); commits stay
+        # sequential so track merging matches the sequential semantics.
+        runnable = []
         for other in idxs:
             other = int(other)
-            distance = abs(other - image_idx)
             if other == image_idx or self.is_pair_processed(image_idx, other):
-                continue
-            if not (num_nh < num_nh_images or distance > nh_distance):
                 continue
             if not (self.is_image_processed(image_idx)
                     or self.is_image_processed(other)):
                 continue
-            if self.process(image_idx, other, options):
-                if verbose:
-                    print(f"Closed loop to image #{other}")
-                num_successes += 1
-                if distance <= nh_distance:
-                    num_nh += 1
+            # The batched kernel registers current against PROCESSED prevs.
+            if not self.is_image_processed(other):
+                continue
+            runnable.append(other)
+
+        num_successes = 0
+        num_nh = 0
+        if runnable and self.is_image_processed(image_idx):
+            results = self._batch_register_candidates(image_idx, runnable,
+                                                      options)
+            for other, (r, prev_p2d, has_tri, tri_nt) in zip(runnable, results):
+                distance = abs(other - image_idx)
+                if not (num_nh < num_nh_images or distance > nh_distance):
+                    continue
+                if not self._register_gates(image_idx, other, r, options,
+                                            debug=False):
+                    continue
+                if self._register_commit(image_idx, other, r, options,
+                                         prev_p2d, has_tri, tri_nt):
+                    if verbose:
+                        print(f"Closed loop to image #{other}")
+                    num_successes += 1
+                    if distance <= nh_distance:
+                        num_nh += 1
+        else:
+            # Current image not yet registered (rescue path): fall back to
+            # sequential process(), which can register it against the first
+            # successful candidate.
+            for other in runnable:
+                distance = abs(other - image_idx)
+                if not (num_nh < num_nh_images or distance > nh_distance):
+                    continue
+                if self.process(image_idx, other, options):
+                    if verbose:
+                        print(f"Closed loop to image #{other}")
+                    num_successes += 1
+                    if distance <= nh_distance:
+                        num_nh += 1
         return num_successes
+
+    def _batch_register_candidates(self, image_idx, cand_idxs, options):
+        """Register `image_idx` against many processed candidates in one
+        vmapped device call. Returns [(RegisterResult, prev_p2d, has_tri,
+        tri_nt)] aligned with cand_idxs. The track states are snapshot at
+        call time (commits between candidates only affect shared tracks,
+        which the per-candidate add_correspondence merge handles)."""
+        from .kernels import register_view_batch
+
+        # Bucket the batch to powers-of-two-ish sizes for jit cache reuse.
+        B = 1
+        while B < len(cand_idxs):
+            B *= 2
+        padded = list(cand_idxs) + [cand_idxs[0]] * (B - len(cand_idxs))
+
+        states = [self._prev_track_state(i, options) for i in padded]
+        feats = [self._device_features(i) for i in padded]
+        kpc, dc_, mc_, ncn = self._device_features(image_idx)
+        nt = self._norm_threshold(options.ransac_max_reproj_error, image_idx)
+        tri_nt = self._norm_threshold(options.tri_max_reproj_error, image_idx)
+        ci = self.image_cameras[image_idx]
+
+        keys = jax.random.split(self._next_key(), B)
+        rows, scalars = register_view_batch(
+            keys,
+            jnp.stack([f[0] for f in feats]),
+            jnp.stack([f[1] for f in feats]),
+            jnp.stack([f[2] for f in feats]),
+            jnp.stack([f[3] for f in feats]),
+            kpc, dc_, mc_, ncn,
+            jnp.asarray(np.stack([s[3] for s in states])),
+            jnp.asarray(np.stack([s[1] for s in states])),
+            jnp.asarray(np.stack([s[2] for s in states])),
+            jnp.asarray(np.stack([s[4] for s in states]), jnp.float32),
+            jnp.asarray(np.stack([s[5] for s in states]), jnp.float32),
+            jnp.asarray(self.cam_params[ci]), jnp.asarray(self.cam_models[ci]),
+            jnp.float32(options.match_max_ratio),
+            jnp.float32(options.match_max_distance
+                        if options.match_max_distance > 0 else 1e9),
+            jnp.float32(nt),
+            p3p_trials=options.p3p_ransac_trials,
+        )
+        rows, scalars = jax.device_get((rows, scalars))
+        out = []
+        for k in range(len(cand_idxs)):
+            r = unpack_register(rows[k], scalars[k])
+            out.append((r, states[k][0], states[k][1], tri_nt))
+        return out
 
     # ---------------------------------------------------------------- merge
 
