@@ -617,17 +617,27 @@ class SequentialMapper:
             idx for idx in other.image_idx_to_id if self.is_image_processed(idx)
         ]
 
-        # Try to close cross-loops on every num_skip_images-th other image.
+        # Try to close cross-loops on every num_skip_images-th other image —
+        # all candidates of one query image registered in ONE batched device
+        # call (the reference runs a full process() per candidate).
         other_idxs = sorted(other.image_idx_to_id.keys())
         for k, idx in enumerate(other_idxs):
             if num_skip_images and k % num_skip_images != 0:
                 continue
             sim_idxs, _ = self.find_similar_images(idx, num_similar_images)
-            for cand in sim_idxs:
-                cand = int(cand)
-                if cand == idx or self.is_pair_processed(idx, cand):
-                    continue
-                self.process(idx, cand, options)
+            cands = [
+                int(c) for c in sim_idxs
+                if int(c) != idx
+                and not self.is_pair_processed(idx, int(c))
+                and self.is_image_processed(int(c))
+            ]
+            if not cands:
+                continue
+            results = self._batch_register_candidates(idx, cands, options)
+            for cand, (r, prev_p2d, has_tri, tri_nt) in zip(cands, results):
+                if self._register_gates(idx, cand, r, options):
+                    self._register_commit(idx, cand, r, options,
+                                          prev_p2d, has_tri, tri_nt)
 
         # Images now processed in both mappers anchor the alignment.
         common = [
