@@ -127,3 +127,26 @@ def test_dist_ba_cg_matches_single_device(rng, cpu_devices):
     assert np.abs(np.asarray(p2) - np.asarray(p1)).max() < 1e-4
     x2n = np.asarray(x2)[new_index]
     assert np.abs(x2n - np.asarray(x1)).max() < 1e-3
+
+
+def test_multihost_helpers_single_process(rng, cpu_devices):
+    """Single-process semantics of the multi-host helpers (multi-process
+    behavior uses the same jax APIs; here process_count == 1)."""
+    from mavmap_tpu.parallel import (
+        init_multihost, global_mesh, host_local_to_global,
+        process_shard_bounds,
+    )
+
+    pid, n = init_multihost()
+    assert pid == 0 and n == 1
+    mesh = global_mesh()
+    assert mesh.devices.size == len(jax.devices())
+    lo, hi = process_shard_bounds(mesh.devices.size * 4, mesh)
+    assert (lo, hi) == (0, mesh.devices.size * 4)
+
+    arr = rng.normal(size=(mesh.devices.size * 2, 3)).astype(np.float32)
+    garr = host_local_to_global(mesh, arr)
+    assert garr.shape == arr.shape
+    assert np.allclose(np.asarray(garr), arr)
+    # Sharded along the leading axis over the mesh.
+    assert len(garr.addressable_shards) == mesh.devices.size
