@@ -251,15 +251,29 @@ class MapStore:
 
     # -------------------------------------------------------- device export
 
-    def observation_table(self, min_track_len=2, tri_only=True):
+    def observation_table(self, min_track_len=2, tri_only=True,
+                          image_ids=None):
         """Flat (obs -> image, point3D, uv, uv_norm) arrays for BA.
 
         Only observations of valid (and optionally triangulated) 3-D points
         whose track length >= min_track_len. Fully vectorized over the
         point2D->point3D table — no per-track Python loop (this runs once
         per local BA, i.e. every frame).
+
+        image_ids: restrict to observations of those images. Each image's
+        point2D ids form one contiguous block, so the restriction is a
+        range-concatenation instead of a full-table scan — keeps per-frame
+        local-BA cost O(window) instead of O(total observations) on long
+        sequences.
         """
-        p3d = self.point2D_point3D
+        if image_ids is not None:
+            cand = np.concatenate(
+                [self.point2D_ids_of_image(i) for i in image_ids]
+            ) if len(image_ids) else np.zeros(0, np.int64)
+            p3d = self.point2D_point3D[cand]
+        else:
+            cand = None
+            p3d = self.point2D_point3D
         sel = p3d >= 0
         pids = np.maximum(p3d, 0)
         ok = (
@@ -270,9 +284,11 @@ class MapStore:
         if tri_only:
             ok = ok & self.point3D_tri[pids]
         rows = np.where(ok)[0]
+        if cand is not None:
+            rows = cand[rows]
         return (
             self.point2D_image[rows].astype(np.int32),
-            p3d[rows],
+            self.point2D_point3D[rows],
             self.point2D_xy[rows],
             self.point2D_xy_norm[rows],
         )

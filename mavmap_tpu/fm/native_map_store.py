@@ -120,9 +120,10 @@ class NativeMapStore(MapStore):
         self._sync()
         return super().find_tri_points(image_id)
 
-    def observation_table(self, min_track_len=2, tri_only=True):
+    def observation_table(self, min_track_len=2, tri_only=True,
+                          image_ids=None):
         self._sync()
-        return super().observation_table(min_track_len, tri_only)
+        return super().observation_table(min_track_len, tri_only, image_ids)
 
     def sync(self):
         """Refresh the numpy mirrors (point2D_point3D, flags, track lens)

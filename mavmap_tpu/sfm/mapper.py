@@ -759,7 +759,7 @@ class SequentialMapper:
         ).astype(np.float32)
 
         obs_img_raw, obs_pt_raw, obs_xy, _ = self.store.observation_table(
-            min_track_len=ba_options.min_track_len
+            min_track_len=ba_options.min_track_len, image_ids=sel_ids
         )
         row_of_id = np.full(self.store.num_images, -1, np.int32)
         for k, iid in enumerate(sel_ids):
