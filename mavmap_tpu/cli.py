@@ -56,10 +56,17 @@ def build_parser():
     p.add_argument("--match-max-ratio", type=float, default=0.9)
     p.add_argument("--match-max-distance", type=float, default=-1)
     p.add_argument("--min-disparity", type=float, default=0)
-    p.add_argument("--max-homography-inliers", type=float, default=0.7)
+    p.add_argument("--init-min-disparity", type=float, default=0)
+    p.add_argument("--max-homography-inliers", type=float, default=0.8)
     p.add_argument("--init-max-homography-inliers", type=float, default=0.7)
     p.add_argument("--final-cost-threshold", type=float, default=2.0)
+    p.add_argument("--loss-scale-factor", type=float, default=1.0,
+                   help="Cauchy robust-loss scale for pose refinement and BA")
     p.add_argument("--ransac-min-inlier-threshold", type=float, default=30)
+    p.add_argument("--ransac-min-inlier-stop", type=float, default=0.6,
+                   help="accepted for reference compatibility; the batched "
+                        "RANSAC runs a fixed trial count instead of "
+                        "stopping early")
     p.add_argument("--ransac-max-reproj-error", type=float, default=4.0)
     p.add_argument("--tri-max-reproj-error", type=float, default=4.0)
     p.add_argument("--init-tri-min-angle", type=float, default=10.0)
@@ -68,10 +75,24 @@ def build_parser():
 
     # Orchestration (mapper.cc:810-868).
     p.add_argument("--max-subsequent-trials", type=int, default=30)
+    p.add_argument("--failure-skip-images", type=int, default=1,
+                   help="restart offset of a new sub-map after unrecoverable "
+                        "failure")
+    p.add_argument("--failure-max-image-dist", type=int, default=10,
+                   help="accepted for reference compatibility (declared but "
+                        "unused by the reference as well)")
     p.add_argument("--local-ba-window-size", type=int, default=8)
+    p.add_argument("--local-ba-refine-camera-params", action="store_true",
+                   help="refine shared intrinsics in the local BA too "
+                        "(reference default true; disables the async local "
+                        "BA overlap)")
     p.add_argument("--loop-detection-period", type=int, default=20)
     p.add_argument("--loop-detection-num-images", type=int, default=30)
+    p.add_argument("--loop-detection-num-nh-images", type=int, default=15)
+    p.add_argument("--loop-detection-nh-dist", type=int, default=30)
     p.add_argument("--merge-num-skip-images", type=int, default=5)
+    p.add_argument("--no-merge", action="store_true",
+                   help="do not merge separate sub-maps")
     p.add_argument("--no-loop-detection", action="store_true")
     p.add_argument("--process-prev-prev", action="store_true")
 
@@ -195,14 +216,30 @@ def main(argv=None):
         first_image_idx=args.first_image_idx,
         second_image_idx=args.second_image_idx,
         max_subsequent_trials=args.max_subsequent_trials,
+        failure_skip_images=args.failure_skip_images,
+        failure_max_image_dist=args.failure_max_image_dist,
         local_ba_window_size=args.local_ba_window_size,
+        local_ba_refine_camera_params=args.local_ba_refine_camera_params,
         loop_detection=voc_tree is not None,
         loop_detection_period=args.loop_detection_period,
         loop_detection_num_images=args.loop_detection_num_images,
+        loop_detection_num_nh_images=args.loop_detection_num_nh_images,
+        loop_detection_nh_dist=args.loop_detection_nh_dist,
+        merge=not args.no_merge,
         merge_num_skip_images=args.merge_num_skip_images,
         min_track_len=args.min_track_len,
         final_cost_threshold=args.final_cost_threshold,
         init_max_homography_inliers=args.init_max_homography_inliers,
+        max_homography_inliers=args.max_homography_inliers,
+        init_min_disparity=args.init_min_disparity,
+        min_disparity=args.min_disparity,
+        match_max_ratio=args.match_max_ratio,
+        match_max_distance=args.match_max_distance,
+        ransac_min_inlier_threshold=args.ransac_min_inlier_threshold,
+        ransac_min_inlier_stop=args.ransac_min_inlier_stop,
+        ransac_max_reproj_error=args.ransac_max_reproj_error,
+        tri_max_reproj_error=args.tri_max_reproj_error,
+        loss_scale_factor=args.loss_scale_factor,
         init_tri_min_angle=args.init_tri_min_angle,
         tri_min_angle=args.tri_min_angle,
         constrain_rotation=args.constrain_rotation,

@@ -33,25 +33,40 @@ class LoopDetector:
         # coords of (the first occurrence of) each word — the reference's
         # VocTreeDatabase forward blocks (voc_tree_database.cc:84-108).
         self._forward = {}
+        self._words_cache = {}
+        # Lazily-quantized images: add_image defers the device call; the
+        # next query/forward access quantizes ALL pending images in one
+        # batched call (one ~RTT-bound round-trip per frame otherwise).
+        self._pending = {}
 
     @property
     def num_images(self):
-        return len(self._image_idxs)
+        return len(self._image_idxs) + len(self._pending)
 
-    def _quantize(self, features):
+    def _quantize_raw(self, features, image_idx=None):
+        """Per-keypoint visual words (-1 for masked rows) — ONE device call,
+        cached per image (quantization is needed by add_image, the forward
+        file, AND query; re-running it costs a full device round-trip each
+        time on a remote-attached TPU)."""
+        if image_idx is not None and image_idx in self._words_cache:
+            return self._words_cache[image_idx]
         desc = features.descriptors[: MAX_NUM_VISUAL_WORDS]
         mask = features.mask[: MAX_NUM_VISUAL_WORDS]
         words = np.asarray(self.voc_tree.quantize(desc, mask))
+        if image_idx is not None:
+            self._words_cache[image_idx] = words
+        return words
+
+    def _quantize(self, features, image_idx=None):
+        words = self._quantize_raw(features, image_idx)
         return words[words >= 0]
 
-    def _quantize_with_coords(self, features):
+    def _quantize_with_coords(self, features, image_idx=None):
         """(sorted unique words (U,), coords (U, 2)) — first occurrence of
         each word keeps its keypoint, matching the reference's sorted-
         unique-vw requirement (voc_tree_database.cc:111-146)."""
-        desc = features.descriptors[: MAX_NUM_VISUAL_WORDS]
-        mask = features.mask[: MAX_NUM_VISUAL_WORDS]
         kp = features.keypoints[: MAX_NUM_VISUAL_WORDS]
-        words = np.asarray(self.voc_tree.quantize(desc, mask))
+        words = self._quantize_raw(features, image_idx)
         sel = words >= 0
         words, kp = words[sel], kp[sel]
         uw, first = np.unique(words, return_index=True)
@@ -63,23 +78,59 @@ class LoopDetector:
         return bow
 
     def add_image(self, image_idx, features):
-        """Quantize and store an image (reference detection.cc:36-61)."""
-        if image_idx in self._idx_to_slot:
+        """Store an image for retrieval (reference detection.cc:36-61).
+
+        Quantization is DEFERRED: the next query (typically the periodic
+        detect_loop, every ~20 frames) quantizes every pending image in one
+        batched device call instead of one round-trip per frame.
+        """
+        if image_idx in self._idx_to_slot or image_idx in self._pending:
             return
-        words = self._quantize(features)
-        bow = self._bow_of(words)
-        slot = len(self._image_idxs)
-        if slot >= len(self._bow):
-            extra = np.zeros((self.capacity_step, self.num_words), np.float32)
-            self._bow = np.concatenate([self._bow, extra], axis=0)
-        self._bow[slot] = bow
-        self._idx_to_slot[image_idx] = slot
-        self._image_idxs.append(image_idx)
-        self._forward[image_idx] = self._quantize_with_coords(features)
+        self._pending[image_idx] = features
+
+    def _flush_pending(self):
+        if not self._pending:
+            return
+        items = sorted(self._pending.items())
+        self._pending = {}
+        descs = np.stack(
+            [f.descriptors[: MAX_NUM_VISUAL_WORDS] for _, f in items]
+        )
+        masks = np.stack([f.mask[: MAX_NUM_VISUAL_WORDS] for _, f in items])
+        # Bucket the batch (pad with masked rows) so repeat flushes hit the
+        # jit cache.
+        K0 = len(items)
+        K = 1
+        while K < K0:
+            K *= 2
+        if K > K0:
+            descs = np.concatenate(
+                [descs, np.zeros((K - K0,) + descs.shape[1:], descs.dtype)])
+            masks = np.concatenate(
+                [masks, np.zeros((K - K0,) + masks.shape[1:], bool)])
+        K, F, D = descs.shape
+        words_all = np.asarray(
+            self.voc_tree.quantize(descs.reshape(K * F, D),
+                                   masks.reshape(K * F))
+        ).reshape(K, F)
+        for (image_idx, f), words in zip(items, words_all[:K0]):
+            self._words_cache[image_idx] = words
+            w = words[words >= 0]
+            bow = self._bow_of(w)
+            slot = len(self._image_idxs)
+            if slot >= len(self._bow):
+                extra = np.zeros((self.capacity_step, self.num_words),
+                                 np.float32)
+                self._bow = np.concatenate([self._bow, extra], axis=0)
+            self._bow[slot] = bow
+            self._idx_to_slot[image_idx] = slot
+            self._image_idxs.append(image_idx)
+            self._forward[image_idx] = self._quantize_with_coords(f, image_idx)
 
     def forward_data(self, image_idx):
         """Stored (sorted unique words, coords) for an image — the
         reference's getforwarddata/getdocvw (voc_tree_database.cc:149-164)."""
+        self._flush_pending()
         return self._forward[image_idx]
 
     def match_forward(self, image_idx, features):
@@ -92,23 +143,25 @@ class LoopDetector:
 
         Returns (xy_db (M, 2), xy_query (M, 2)).
         """
+        self._flush_pending()
         vw_db, xy_db = self._forward[image_idx]
         vw_q, xy_q = self._quantize_with_coords(features)
         common, ia, ib = np.intersect1d(vw_db, vw_q, assume_unique=True,
                                         return_indices=True)
         return xy_db[ia], xy_q[ib]
 
-    def query(self, features, num_images=30, use_idf=True):
+    def query(self, features, num_images=30, use_idf=True, image_idx=None):
         """Top-N most similar stored images.
 
         Returns (image_idxs (N,), scores (N,)) with scores in [0, 2],
         smaller = more similar (reference detection.cc:64-93,
         voc_tree_inv_file.cc:243-328).
         """
+        self._flush_pending()
         n = self.num_images
         if n == 0:
             return np.zeros(0, np.int64), np.zeros(0, np.float32)
-        words = self._quantize(features)
+        words = self._quantize(features, image_idx)
         qbow = self._bow_of(words)
         db = self._bow[:n]
         if use_idf:

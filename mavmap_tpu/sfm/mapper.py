@@ -442,7 +442,8 @@ class SequentialMapper:
         if self.loop_detector is None:
             return np.zeros(0, np.int64), np.zeros(0, np.float32)
         f = self._features(image_idx)
-        return self.loop_detector.query(f, num_images=num_images)
+        return self.loop_detector.query(f, num_images=num_images,
+                                        image_idx=image_idx)
 
     def _batch_match_counts(self, image_idx, cand_idxs, options):
         """Match counts of image_idx against many candidates in ONE batched

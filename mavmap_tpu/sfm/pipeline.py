@@ -27,16 +27,34 @@ class PipelineOptions:
     first_image_idx: int = -1   # initial pair: first image (default start)
     second_image_idx: int = -1  # initial pair: second image (default auto)
     max_subsequent_trials: int = 30
+    failure_skip_images: int = 1      # restart offset for a new sub-map
+    failure_max_image_dist: int = 10  # accepted for parity; unused in the
+                                      # reference too (declared, never read)
     local_ba_window_size: int = 8
     loop_detection: bool = True
     loop_detection_period: int = 20
     loop_detection_num_images: int = 30
+    loop_detection_num_nh_images: int = 15
+    loop_detection_nh_dist: int = 30
+    merge: bool = True
     merge_num_skip_images: int = 5
     min_track_len: int = 3
     final_cost_threshold: float = 2.0
     init_max_homography_inliers: float = 0.7
+    max_homography_inliers: float = 0.8
+    init_min_disparity: float = 0.0
+    min_disparity: float = 0.0
+    match_max_ratio: float = 0.9
+    match_max_distance: float = -1.0
+    ransac_min_inlier_threshold: float = 30
+    ransac_min_inlier_stop: float = 0.6  # parity; fixed-trial RANSAC ignores
+    ransac_max_reproj_error: float = 4.0
+    tri_max_reproj_error: float = 4.0
     init_tri_min_angle: float = 10.0
     tri_min_angle: float = 1.0
+    loss_scale_factor: float = 1.0
+    essential_ransac_trials: int = 512
+    p3p_ransac_trials: int = 512
     constrain_rotation: bool = False
     constrain_rotation_weight: float = 0.0
     use_control_points: bool = False
@@ -46,6 +64,7 @@ class PipelineOptions:
     ba_global_max_iters: int = 50
     verbose: bool = True
     refine_camera_params: bool = False
+    local_ba_refine_camera_params: bool = False
     debug: bool = False
     debug_path: str = ""
 
@@ -58,7 +77,18 @@ def _mapper_options(opts: PipelineOptions, initial=False, num_proc=1000000):
     return SequentialMapperOptions(
         final_cost_threshold=opts.final_cost_threshold,
         tri_min_angle=opts.init_tri_min_angle if initial else opts.tri_min_angle,
-        max_homography_inliers=opts.init_max_homography_inliers if initial else 0.7,
+        max_homography_inliers=(opts.init_max_homography_inliers if initial
+                                else opts.max_homography_inliers),
+        min_disparity=opts.init_min_disparity if initial else opts.min_disparity,
+        match_max_ratio=opts.match_max_ratio,
+        match_max_distance=opts.match_max_distance,
+        ransac_min_inlier_threshold=opts.ransac_min_inlier_threshold,
+        ransac_min_inlier_stop=opts.ransac_min_inlier_stop,
+        ransac_max_reproj_error=opts.ransac_max_reproj_error,
+        tri_max_reproj_error=opts.tri_max_reproj_error,
+        essential_ransac_trials=opts.essential_ransac_trials,
+        p3p_ransac_trials=opts.p3p_ransac_trials,
+        loop_detection_num_images=opts.loop_detection_num_images,
         min_track_len=mtl,
     )
 
@@ -86,10 +116,12 @@ def _local_ba(mapper, opts: PipelineOptions, rot_priors=None):
     mapper.adjust_bundle(
         window[2:], window[:2],
         ba_options=BAOptions(max_num_iterations=opts.ba_local_max_iters,
-                             min_track_len=opts.min_track_len),
+                             min_track_len=opts.min_track_len,
+                             loss_scale_factor=opts.loss_scale_factor,
+                             refine_camera_params=opts.local_ba_refine_camera_params),
         rot_priors=rot_priors if opts.constrain_rotation else None,
         rot_prior_weight=opts.constrain_rotation_weight,
-        async_=True,
+        async_=not opts.local_ba_refine_camera_params,
     )
 
 
@@ -98,6 +130,7 @@ def _global_ba(mapper, opts: PipelineOptions, rot_priors=None,
     return mapper.adjust_global_bundle(
         BAOptions(max_num_iterations=opts.ba_global_max_iters,
                   min_track_len=opts.min_track_len,
+                  loss_scale_factor=opts.loss_scale_factor,
                   refine_camera_params=opts.refine_camera_params,
                   update_point3D_errors=update_errors),
         rot_priors=rot_priors if opts.constrain_rotation else None,
@@ -426,9 +459,12 @@ def run_pipeline(
         seq_opts = _mapper_options(opts, num_proc=mapper.num_proc_images)
         success = mapper.process(idx, prev_idx, seq_opts, debug=opts.debug)
         if not success and opts.loop_detection:
-            # Rescue via loop detection (mapper.cc:1107-1108).
+            # Rescue via loop detection: stop after ONE successful closure,
+            # every candidate counts as neighborhood
+            # (mapper.cc:1107-1108: detect_loop(idx, 30, 1, SIZE_MAX)).
             success = mapper.detect_loop(
                 idx, num_images=opts.loop_detection_num_images,
+                num_nh_images=1, nh_distance=1 << 30,
                 options=seq_opts) > 0
         if success:
             if opts.verbose:
@@ -437,11 +473,18 @@ def run_pipeline(
             if opts.process_prev_prev and prev_idx is not None:
                 prev_reg = sorted(mapper.image_idx_to_id.keys())
                 if len(prev_reg) >= 3:
-                    mapper.process(idx, prev_reg[-3], seq_opts)
+                    # Reference disables the homography gate for the
+                    # prev-prev pair (mapper.cc:1114-1117).
+                    from dataclasses import replace as _replace
+
+                    pp_opts = _replace(seq_opts, max_homography_inliers=1.0)
+                    mapper.process(idx, prev_reg[-3], pp_opts)
             _local_ba(mapper, opts, rot_priors)
             count_since_loop += 1
             if opts.loop_detection and count_since_loop >= opts.loop_detection_period:
                 mapper.detect_loop(idx, num_images=opts.loop_detection_num_images,
+                                   num_nh_images=opts.loop_detection_num_nh_images,
+                                   nh_distance=opts.loop_detection_nh_dist,
                                    options=seq_opts, verbose=opts.verbose)
                 count_since_loop = 0
             prev_idx = idx
@@ -455,6 +498,8 @@ def run_pipeline(
                     print(f"Starting new sub-map at image #{idx}")
                 mapper = new_mapper(len(mappers))
                 mappers.append(mapper)
+                # Restart offset (reference mapper.cc:1157).
+                idx += max(opts.failure_skip_images - 1, 0)
                 first_idx = idx
                 num_skipped = 0
             else:
@@ -468,7 +513,7 @@ def run_pipeline(
         _global_ba(m, opts, rot_priors)
 
     mappers = [m for m in mappers if m.num_proc_images > 0]
-    if len(mappers) > 1:
+    if len(mappers) > 1 and opts.merge:
         mappers = merge_mappers(mappers, opts)
         for m in mappers:
             process_remaining_images(m, start, end, opts)
