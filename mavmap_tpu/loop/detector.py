@@ -77,26 +77,42 @@ class LoopDetector:
         np.add.at(bow, words, 1.0)
         return bow
 
-    def add_image(self, image_idx, features):
+    def add_image(self, image_idx, features, device_descriptors=None,
+                  device_mask=None):
         """Store an image for retrieval (reference detection.cc:36-61).
 
         Quantization is DEFERRED: the next query (typically the periodic
         detect_loop, every ~20 frames) quantizes every pending image in one
-        batched device call instead of one round-trip per frame.
+        batched device call instead of one round-trip per frame. Pass
+        `device_descriptors`/`device_mask` (already device-resident jnp
+        arrays, e.g. the mapper's matching cache) to skip re-uploading the
+        descriptors over the host->device link — the upload is the dominant
+        cost on a remote-attached TPU (~0.5 MB/image).
         """
         if image_idx in self._idx_to_slot or image_idx in self._pending:
             return
-        self._pending[image_idx] = features
+        self._pending[image_idx] = (features, device_descriptors, device_mask)
 
     def _flush_pending(self):
         if not self._pending:
             return
         items = sorted(self._pending.items())
         self._pending = {}
-        descs = np.stack(
-            [f.descriptors[: MAX_NUM_VISUAL_WORDS] for _, f in items]
-        )
-        masks = np.stack([f.mask[: MAX_NUM_VISUAL_WORDS] for _, f in items])
+        on_device = all(d is not None for _, (_, d, m) in items)
+        if on_device:
+            descs = jnp.stack([d[:MAX_NUM_VISUAL_WORDS]
+                               for _, (_, d, _) in items])
+            masks = jnp.stack([m[:MAX_NUM_VISUAL_WORDS]
+                               for _, (_, _, m) in items])
+            xp = jnp
+        else:
+            descs = np.stack(
+                [f.descriptors[: MAX_NUM_VISUAL_WORDS]
+                 for _, (f, _, _) in items]
+            )
+            masks = np.stack([f.mask[: MAX_NUM_VISUAL_WORDS]
+                              for _, (f, _, _) in items])
+            xp = np
         # Bucket the batch (pad with masked rows) so repeat flushes hit the
         # jit cache.
         K0 = len(items)
@@ -104,16 +120,16 @@ class LoopDetector:
         while K < K0:
             K *= 2
         if K > K0:
-            descs = np.concatenate(
-                [descs, np.zeros((K - K0,) + descs.shape[1:], descs.dtype)])
-            masks = np.concatenate(
-                [masks, np.zeros((K - K0,) + masks.shape[1:], bool)])
+            descs = xp.concatenate(
+                [descs, xp.zeros((K - K0,) + descs.shape[1:], descs.dtype)])
+            masks = xp.concatenate(
+                [masks, xp.zeros((K - K0,) + masks.shape[1:], bool)])
         K, F, D = descs.shape
         words_all = np.asarray(
             self.voc_tree.quantize(descs.reshape(K * F, D),
                                    masks.reshape(K * F))
         ).reshape(K, F)
-        for (image_idx, f), words in zip(items, words_all[:K0]):
+        for (image_idx, (f, _, _)), words in zip(items, words_all[:K0]):
             self._words_cache[image_idx] = words
             w = words[words >= 0]
             bow = self._bow_of(w)

@@ -133,7 +133,12 @@ class SequentialMapper:
         self.image_idx_to_id[image_idx] = image_id
         self.image_id_to_idx[image_id] = image_idx
         if self.loop_detector is not None:
-            self.loop_detector.add_image(image_idx, f)
+            dev = self._dev_cache.get(image_idx)
+            self.loop_detector.add_image(
+                image_idx, f,
+                device_descriptors=dev[1] if dev else None,
+                device_mask=dev[2] if dev else None,
+            )
         self._track_minmax(image_idx)
         self.num_proc_images += 1
         return image_id
