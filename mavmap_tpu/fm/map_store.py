@@ -46,11 +46,17 @@ class MapStore:
         self.image_cameras = np.zeros((0,), np.int32)
         self.image_registered = np.zeros((0,), bool)
 
-        # 2-D points (flat table across all images).
-        self.point2D_xy = np.zeros((0, 2), np.float64)       # pixel coords
-        self.point2D_xy_norm = np.zeros((0, 2), np.float64)  # normalized coords
-        self.point2D_image = np.zeros((0,), np.int32)
-        self.point2D_point3D = np.zeros((0,), np.int64)      # -1 = none
+        # 2-D points (flat table across all images). Backed by capacity-
+        # doubling buffers; the public point2D_* attributes are VIEWS of
+        # length num_points2D (per-image np.concatenate would re-copy the
+        # whole table on every add_image — quadratic on long sequences).
+        self._p2d_cap = 0
+        self._p2d_len = 0
+        self._b_xy = np.zeros((0, 2), np.float64)
+        self._b_xy_norm = np.zeros((0, 2), np.float64)
+        self._b_image = np.zeros((0,), np.int32)
+        self._b_p3d = np.zeros((0,), np.int64)
+        self._refresh_p2d_views()
         self.image_point2D_start = []                         # per image: (start, n)
 
         # 3-D points.
@@ -62,6 +68,29 @@ class MapStore:
         self.point3D_track_len = np.zeros((0,), np.int32)
         # track: point3D id -> list of point2D ids.
         self.tracks = {}
+
+    def _refresh_p2d_views(self):
+        n = self._p2d_len
+        self.point2D_xy = self._b_xy[:n]
+        self.point2D_xy_norm = self._b_xy_norm[:n]
+        self.point2D_image = self._b_image[:n]
+        self.point2D_point3D = self._b_p3d[:n]
+
+    def _reserve_p2d(self, n):
+        need = self._p2d_len + n
+        if need > self._p2d_cap:
+            new_cap = max(need, 2 * self._p2d_cap, 4096)
+
+            def grow(buf, dtype, fill=0):
+                nb = np.full((new_cap,) + buf.shape[1:], fill, dtype)
+                nb[: self._p2d_len] = buf[: self._p2d_len]
+                return nb
+
+            self._b_xy = grow(self._b_xy, np.float64)
+            self._b_xy_norm = grow(self._b_xy_norm, np.float64)
+            self._b_image = grow(self._b_image, np.int32)
+            self._b_p3d = grow(self._b_p3d, np.int64, fill=-1)
+            self._p2d_cap = new_cap
 
     def sync(self):
         """No-op on the Python backend (native backend refreshes mirrors)."""
@@ -107,19 +136,17 @@ class MapStore:
         self.image_registered = np.append(self.image_registered, False)
 
         start = self.num_points2D
-        self.point2D_xy = np.concatenate([self.point2D_xy, points2D], axis=0)
+        self._reserve_p2d(n)
+        end = start + n
+        self._b_xy[start:end] = points2D
         if points2D_norm is None:
             points2D_norm = np.zeros_like(points2D)
-        self.point2D_xy_norm = np.concatenate(
-            [self.point2D_xy_norm, np.asarray(points2D_norm, np.float64).reshape(-1, 2)],
-            axis=0,
-        )
-        self.point2D_image = np.append(
-            self.point2D_image, np.full((n,), image_id, np.int32)
-        )
-        self.point2D_point3D = np.append(
-            self.point2D_point3D, np.full((n,), -1, np.int64)
-        )
+        self._b_xy_norm[start:end] = np.asarray(
+            points2D_norm, np.float64).reshape(-1, 2)
+        self._b_image[start:end] = image_id
+        self._b_p3d[start:end] = -1
+        self._p2d_len = end
+        self._refresh_p2d_views()
         self.image_point2D_start.append((start, n))
         return image_id, np.arange(start, start + n)
 

@@ -79,7 +79,9 @@ class NativeMapStore(MapStore):
         if not self._dirty:
             return
         self._dirty = False  # first: _grow_payload reads intercepted attrs
-        self.point2D_point3D = self._idx.export_point2D_point3D()
+        # In-place copy into the view: keeps the capacity-doubling buffer
+        # as the single backing store (appends and syncs stay consistent).
+        self.point2D_point3D[:] = self._idx.export_point2D_point3D()
         cap = self._idx.capacity_points3D
         self._grow_payload(cap - 1)
         valid, tri, tl = self._idx.export_point3D_flags()

@@ -63,10 +63,18 @@ def load_map(mapper, path):
     s.image_tvecs = d["image_tvecs"]
     s.image_cameras = d["image_cameras"]
     s.image_registered = d["image_registered"]
-    s.point2D_xy = d["point2D_xy"]
-    s.point2D_xy_norm = d["point2D_xy_norm"]
-    s.point2D_image = d["point2D_image"]
-    s.point2D_point3D = d["point2D_point3D"]
+    # Load into the capacity-doubling point2D buffers (the public
+    # point2D_* attributes are views; assigning them directly would
+    # desynchronize later appends).
+    n_p2d = len(d["point2D_xy"])
+    s._p2d_len = 0
+    s._reserve_p2d(n_p2d)
+    s._b_xy[:n_p2d] = d["point2D_xy"]
+    s._b_xy_norm[:n_p2d] = d["point2D_xy_norm"]
+    s._b_image[:n_p2d] = d["point2D_image"]
+    s._b_p3d[:n_p2d] = d["point2D_point3D"]
+    s._p2d_len = n_p2d
+    s._refresh_p2d_views()
     s.image_point2D_start = [tuple(r) for r in d["image_point2D_start"]]
     s.point3D_xyz = d["point3D_xyz"]
     s.point3D_valid = d["point3D_valid"]
