@@ -59,13 +59,16 @@ class MapStore:
         self._refresh_p2d_views()
         self.image_point2D_start = []                         # per image: (start, n)
 
-        # 3-D points.
-        self.point3D_xyz = np.zeros((0, 3), np.float64)
-        self.point3D_valid = np.zeros((0,), bool)
-        self.point3D_tri = np.zeros((0,), bool)
-        self.point3D_error = np.full((0,), -1.0, np.float64)
-        self.point3D_fixed = np.zeros((0,), bool)            # GCP pinning
-        self.point3D_track_len = np.zeros((0,), np.int32)
+        # 3-D points — same capacity-doubling buffer/view scheme.
+        self._p3_cap = 0
+        self._p3_len = 0
+        self._b3_xyz = np.zeros((0, 3), np.float64)
+        self._b3_valid = np.zeros((0,), bool)
+        self._b3_tri = np.zeros((0,), bool)
+        self._b3_error = np.full((0,), -1.0, np.float64)
+        self._b3_fixed = np.zeros((0,), bool)                # GCP pinning
+        self._b3_track_len = np.zeros((0,), np.int32)
+        self._refresh_p3d_views()
         # track: point3D id -> list of point2D ids.
         self.tracks = {}
 
@@ -75,6 +78,38 @@ class MapStore:
         self.point2D_xy_norm = self._b_xy_norm[:n]
         self.point2D_image = self._b_image[:n]
         self.point2D_point3D = self._b_p3d[:n]
+
+    def _refresh_p3d_views(self):
+        n = self._p3_len
+        self.point3D_xyz = self._b3_xyz[:n]
+        self.point3D_valid = self._b3_valid[:n]
+        self.point3D_tri = self._b3_tri[:n]
+        self.point3D_error = self._b3_error[:n]
+        self.point3D_fixed = self._b3_fixed[:n]
+        self.point3D_track_len = self._b3_track_len[:n]
+
+    def reserve_points3D(self, new_len):
+        """Extend the 3-D point tables to `new_len` rows (amortized O(1);
+        new rows invalid/zeroed, error -1)."""
+        if new_len <= self._p3_len:
+            return
+        if new_len > self._p3_cap:
+            new_cap = max(new_len, 2 * self._p3_cap, 4096)
+
+            def grow(buf, dtype, fill=0):
+                nb = np.full((new_cap,) + buf.shape[1:], fill, dtype)
+                nb[: self._p3_len] = buf[: self._p3_len]
+                return nb
+
+            self._b3_xyz = grow(self._b3_xyz, np.float64)
+            self._b3_valid = grow(self._b3_valid, bool, False)
+            self._b3_tri = grow(self._b3_tri, bool, False)
+            self._b3_error = grow(self._b3_error, np.float64, -1.0)
+            self._b3_fixed = grow(self._b3_fixed, bool, False)
+            self._b3_track_len = grow(self._b3_track_len, np.int32)
+            self._p3_cap = new_cap
+        self._p3_len = new_len
+        self._refresh_p3d_views()
 
     def _reserve_p2d(self, n):
         need = self._p2d_len + n
@@ -165,15 +200,12 @@ class MapStore:
     # ------------------------------------------------------------- points3D
 
     def _new_point3D(self, xyz=None):
-        pid = len(self.point3D_valid)
-        self.point3D_xyz = _grow(self.point3D_xyz, 1)
+        pid = self._p3_len
+        self.reserve_points3D(pid + 1)
         if xyz is not None:
             self.point3D_xyz[pid] = np.asarray(xyz, np.float64)
-        self.point3D_valid = np.append(self.point3D_valid, True)
-        self.point3D_tri = np.append(self.point3D_tri, xyz is not None)
-        self.point3D_error = np.append(self.point3D_error, -1.0)
-        self.point3D_fixed = np.append(self.point3D_fixed, False)
-        self.point3D_track_len = np.append(self.point3D_track_len, np.int32(0))
+        self.point3D_valid[pid] = True
+        self.point3D_tri[pid] = xyz is not None
         self.tracks[pid] = []
         return pid
 

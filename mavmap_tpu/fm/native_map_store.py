@@ -55,23 +55,7 @@ class NativeMapStore(MapStore):
         self._dirty = True
 
     def _grow_payload(self, pid):
-        n = len(self.point3D_xyz)
-        if pid >= n:
-            extra = pid + 1 - n
-            self.point3D_xyz = _grow(self.point3D_xyz, extra)
-            self.point3D_error = np.append(
-                self.point3D_error, np.full(extra, -1.0)
-            )
-            self.point3D_fixed = np.append(
-                self.point3D_fixed, np.zeros(extra, bool)
-            )
-            self.point3D_valid = np.append(
-                self.point3D_valid, np.zeros(extra, bool)
-            )
-            self.point3D_tri = np.append(self.point3D_tri, np.zeros(extra, bool))
-            self.point3D_track_len = np.append(
-                self.point3D_track_len, np.zeros(extra, np.int32)
-            )
+        self.reserve_points3D(pid + 1)
 
     # -- read path ----------------------------------------------------------
 

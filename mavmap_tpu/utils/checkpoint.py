@@ -76,12 +76,15 @@ def load_map(mapper, path):
     s._p2d_len = n_p2d
     s._refresh_p2d_views()
     s.image_point2D_start = [tuple(r) for r in d["image_point2D_start"]]
-    s.point3D_xyz = d["point3D_xyz"]
-    s.point3D_valid = d["point3D_valid"]
-    s.point3D_tri = d["point3D_tri"]
-    s.point3D_error = d["point3D_error"]
-    s.point3D_fixed = d["point3D_fixed"]
-    s.point3D_track_len = d["point3D_track_len"]
+    n_p3 = len(d["point3D_xyz"])
+    s._p3_len = 0
+    s.reserve_points3D(n_p3)
+    s.point3D_xyz[:] = d["point3D_xyz"]
+    s.point3D_valid[:] = d["point3D_valid"]
+    s.point3D_tri[:] = d["point3D_tri"]
+    s.point3D_error[:] = d["point3D_error"]
+    s.point3D_fixed[:] = d["point3D_fixed"]
+    s.point3D_track_len[:] = d["point3D_track_len"]
 
     tracks = {}
     off = 0
