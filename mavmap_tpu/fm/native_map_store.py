@@ -11,7 +11,7 @@ Select via MapStore.create(backend="native"|"python"|"auto").
 
 import numpy as np
 
-from .map_store import MapStore, _grow
+from .map_store import MapStore
 from .native_store import NativeTrackIndex
 
 
