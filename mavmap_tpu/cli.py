@@ -179,6 +179,11 @@ def main(argv=None):
         def get(self, image_idx):
             return cache.query(image_idx, records[image_idx].name)
 
+        def dimensions(self, image_idx):
+            """(rows, cols, diagonal) without decoding the image
+            (reference FeatureCache::query_dimensions)."""
+            return cache.query_dimensions(image_idx, records[image_idx].name)
+
         def image(self, image_idx):
             """Raw image array (for debug dumps and point-cloud colors)."""
             try:

@@ -48,14 +48,32 @@ class FeatureCache:
             raise FileNotFoundError(
                 f"no cached features for {name} and no detector configured"
             )
-        kp, desc = self.detector(image_idx)
+        out = self.detector(image_idx)
+        kp, desc = out[0], out[1]
+        dims = out[2] if len(out) > 2 else (0, 0)
         np.savez(
             path,
             keypoints=np.asarray(kp, np.float32),
             descriptors=np.asarray(desc, np.float32),
+            dims=np.asarray(dims, np.int32),
             fingerprint=self.fingerprint,
         )
         return Features.from_arrays(kp, desc, self.capacity)
+
+    def query_dimensions(self, image_idx, name):
+        """(rows, cols, diagonal) of an image WITHOUT decoding it —
+        reference FeatureCache::query_dimensions
+        (feature_cache.cc:168-195,222-243): dims are persisted alongside
+        the features at extraction time. Returns (0, 0, 0.0) when unknown
+        (pre-dims cache entries or array providers)."""
+        path = self._file(name)
+        if not os.path.exists(path):
+            self.query(image_idx, name)
+        data = np.load(path)
+        if "dims" not in data:
+            return 0, 0, 0.0
+        rows, cols = (int(v) for v in data["dims"])
+        return rows, cols, float(np.hypot(rows, cols))
 
     def clear(self):
         for f in os.listdir(self.cache_path):

@@ -325,7 +325,10 @@ def detect_image(img_array, hessian_threshold=100.0, num_octaves=4,
 
 
 def detect_image_file(path, **kwargs):
+    """(keypoints, descriptors, (rows, cols)) — dims ride along so the
+    feature cache can answer query_dimensions without re-decoding."""
     from PIL import Image
 
     img = np.asarray(Image.open(path).convert("L"), np.float32)
-    return detect_image(img, **kwargs)
+    kp, desc = detect_image(img, **kwargs)
+    return kp, desc, img.shape

@@ -118,6 +118,25 @@ class SequentialMapper:
         p = self.cam_params[ci]
         return float(px) / float((p[0] + p[1]) / 2.0)
 
+    def _abs_disparity(self, min_disparity, image_idx):
+        """Relative (<1) min-disparity thresholds scale by the frame
+        diagonal, like the reference (sequential_mapper.cc:425-436 via
+        rel2abs_threshold + FeatureCache::query_dimensions). Falls back to
+        2 * principal point (~image diagonal) when the provider has no
+        dimension metadata."""
+        if min_disparity >= 1 or min_disparity <= 0:
+            return min_disparity
+        diag = 0.0
+        if hasattr(self.provider, "dimensions"):
+            dims = self.provider.dimensions(image_idx)
+            if dims is not None:
+                diag = float(dims[2])
+        if diag <= 0:
+            ci = self.image_cameras[image_idx]
+            cx, cy = self.cam_params[ci][2], self.cam_params[ci][3]
+            diag = 2.0 * float(np.hypot(cx, cy))
+        return min_disparity * diag
+
     def _store_camera(self, cam_idx):
         if cam_idx not in self._store_cam_ids:
             self._store_cam_ids[cam_idx] = self.store.add_camera(
@@ -352,7 +371,8 @@ class SequentialMapper:
                 tag="matches-inlier")
         if num_matches == 0:
             return False
-        if options.min_disparity > 0 and float(r.med_disparity) < options.min_disparity:
+        if options.min_disparity > 0 and float(r.med_disparity) < \
+                self._abs_disparity(options.min_disparity, image_idx):
             return False
         if int(r.num_hom_inliers) > max_hom:
             return False

@@ -111,3 +111,32 @@ def test_detector_upright_flag(rng):
     kp2, d2 = detect_image(img, max_features=128, upright=False)
     assert (kp1 == kp2).all()          # detection unchanged
     assert not np.allclose(d1, d2)     # descriptors differ (rotated frame)
+
+
+def test_cache_query_dimensions(rng, tmp_path):
+    """Dims persisted with the features; query_dimensions answers without
+    re-decoding (reference feature_cache.cc:168-195,222-243)."""
+    img = _blob_image(rng)
+    calls = []
+
+    def det(idx):
+        calls.append(idx)
+        kp, de = detect_image(img, max_features=64)
+        return kp, de, img.shape
+
+    cache = FeatureCache(str(tmp_path), {"v": 1}, detector=det, capacity=64)
+    cache.query(0, "img0")
+    rows, cols, diag = cache.query_dimensions(0, "img0")
+    assert (rows, cols) == img.shape
+    assert abs(diag - np.hypot(*img.shape)) < 1e-6
+    assert calls == [0]  # no re-extraction
+
+    # Legacy 2-tuple detector: dims unknown, no crash.
+    def det2(idx):
+        kp, de = detect_image(img, max_features=64)
+        return kp, de
+
+    cache2 = FeatureCache(str(tmp_path / "c2"), {"v": 1}, detector=det2,
+                          capacity=64)
+    cache2.query(0, "img0")
+    assert cache2.query_dimensions(0, "img0") == (0, 0, 0.0)
