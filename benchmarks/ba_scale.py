@@ -47,7 +47,7 @@ def bench(prob, solver, iters=10, reps=3, cg_iters=100):
     return ms, float(r[2]), float(r[3])
 
 
-I, P, OPI = 1000, 200000, 1000
+I, P, OPI = 200, 50000, 1000
 poses, X, K, oi, op, uv, states = make(I, P, OPI)
 poses0 = poses.copy()
 poses0[2:] += np.random.default_rng(1).normal(size=poses0[2:].shape) * 0.005

@@ -91,6 +91,8 @@ class BAProblem(NamedTuple):
     pair_mask: jnp.ndarray     # (Q,) bool
     rot_prior: jnp.ndarray     # (I, 3) prior rvec
     rot_prior_weight: jnp.ndarray  # (I,) f32, 0 disables
+    img_order: jnp.ndarray     # (O,) int32 permutation sorting obs by image
+    obs_image_sorted: jnp.ndarray  # (O,) int32 = obs_image[img_order]
 
 
 def build_problem(
@@ -127,6 +129,17 @@ def build_problem(
     obs_cam = np.asarray(obs_cam, np.int32)
     obs_uv = np.asarray(obs_uv, np.float32)
     O = len(obs_image)
+
+    # Sort observations by 3-D point: the large segment_sums (per-point
+    # blocks, CG matvec reductions — P segments vs only I for images) then
+    # run with indices_are_sorted=True, which XLA lowers far better than a
+    # random scatter-add.
+    if O:
+        order0 = np.argsort(obs_point, kind="stable")
+        obs_image = obs_image[order0]
+        obs_point = obs_point[order0]
+        obs_cam = obs_cam[order0]
+        obs_uv = obs_uv[order0]
 
     # Track pair list: for every point, ALL ordered pairs (a, b) of its
     # observations including a == b — the Schur product subtracts
@@ -178,6 +191,17 @@ def build_problem(
     obs_mask = pad(np.ones(O, bool), obs_capacity, False)
     pair_mask = pad(np.ones(Q, bool), pair_capacity, False)
 
+    # By-image permutation: image-keyed reductions gather through it and
+    # run as SORTED segment sums (same trick as the by-point main order).
+    img_order = np.argsort(obs_image, kind="stable") if O else np.zeros(0, np.int64)
+    obs_image_sorted = obs_image[img_order] if O else np.zeros(0, np.int32)
+    # Padding: point rows past O are masked zeros; route them to the last
+    # real image/obs so both sorted invariants hold.
+    img_order_p = pad(img_order.astype(np.int32), obs_capacity,
+                      fill=max(O - 1, 0))
+    obs_image_sorted_p = pad(obs_image_sorted, obs_capacity,
+                             fill=int(obs_image_sorted[-1]) if O else 0)
+
     I0 = len(poses)
     P0 = len(points)
     I = round_up(I0, 8) if bucket else I0
@@ -213,7 +237,13 @@ def build_problem(
         cam_params=jnp.asarray(cam_params, jnp.float32),
         cam_models=jnp.asarray(cam_models, jnp.int32),
         obs_image=jnp.asarray(pad(obs_image, obs_capacity)),
-        obs_point=jnp.asarray(pad(obs_point, obs_capacity)),
+        # Padding rows keep the LAST point index so obs_point stays sorted
+        # (indices_are_sorted=True in the point-keyed segment sums; masked
+        # rows contribute zeros wherever they land).
+        obs_point=jnp.asarray(
+            pad(obs_point, obs_capacity,
+                fill=int(obs_point[-1]) if O else 0)
+        ),
         obs_cam=jnp.asarray(pad(obs_cam, obs_capacity)),
         obs_uv=jnp.asarray(pad(obs_uv, obs_capacity)),
         obs_mask=jnp.asarray(obs_mask),
@@ -224,6 +254,8 @@ def build_problem(
         pair_mask=jnp.asarray(pair_mask),
         rot_prior=jnp.asarray(rot_prior, jnp.float32),
         rot_prior_weight=jnp.asarray(rot_prior_weight, jnp.float32),
+        img_order=jnp.asarray(img_order_p),
+        obs_image_sorted=jnp.asarray(obs_image_sorted_p),
     )
 
 
@@ -297,6 +329,40 @@ def _obs_jacobians(prob: BAProblem, poses, points):
     return jax.vmap(one)(prob.obs_image, prob.obs_point, prob.obs_cam, prob.obs_uv)
 
 
+def _seg_by_image(prob: BAProblem, vals, I):
+    """Image-keyed reduction as a sorted segment sum (gather by the
+    precomputed by-image permutation, then contiguous segments)."""
+    return jax.ops.segment_sum(
+        vals[prob.img_order], prob.obs_image_sorted, num_segments=I,
+        indices_are_sorted=True,
+    )
+
+
+def _inv3x3(M):
+    """Closed-form batched 3x3 inverse (adjugate / det) — elementwise ops
+    only; far faster than batched LU for the (P, 3, 3) point blocks."""
+    a, b, c = M[..., 0, 0], M[..., 0, 1], M[..., 0, 2]
+    d, e, f = M[..., 1, 0], M[..., 1, 1], M[..., 1, 2]
+    g, h, i = M[..., 2, 0], M[..., 2, 1], M[..., 2, 2]
+    A = e * i - f * h
+    B = c * h - b * i
+    C = b * f - c * e
+    D = f * g - d * i
+    E = a * i - c * g
+    F = c * d - a * f
+    G = d * h - e * g
+    H = b * g - a * h
+    I = a * e - b * d
+    det = a * A + b * D + c * G
+    inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-30, 1e-30, det)
+    adj = jnp.stack([
+        jnp.stack([A, B, C], axis=-1),
+        jnp.stack([D, E, F], axis=-1),
+        jnp.stack([G, H, I], axis=-1),
+    ], axis=-2)
+    return adj * inv_det[..., None, None]
+
+
 def _assemble_blocks(prob: BAProblem, poses, points, lam, scale, psum_axis=None):
     """Shared normal-equation block assembly for both Schur solvers.
 
@@ -326,22 +392,20 @@ def _assemble_blocks(prob: BAProblem, poses, points, lam, scale, psum_axis=None)
 
     wJc = w[:, None, None] * Jc
     # Per-image 6x6 blocks + gradient.
-    U = jax.ops.segment_sum(
-        jnp.einsum("oki,okj->oij", wJc, Jc), prob.obs_image, num_segments=I
-    )
-    bc = jax.ops.segment_sum(
-        jnp.einsum("oki,ok->oi", wJc, r), prob.obs_image, num_segments=I
-    )
+    U = _seg_by_image(prob, jnp.einsum("oki,okj->oij", wJc, Jc), I)
+    bc = _seg_by_image(prob, jnp.einsum("oki,ok->oi", wJc, r), I)
     if psum_axis is not None:
         U = jax.lax.psum(U, psum_axis)
         bc = jax.lax.psum(bc, psum_axis)
     # Per-point 3x3 blocks + gradient.
     wJp = w[:, None, None] * Jp
     V = jax.ops.segment_sum(
-        jnp.einsum("oki,okj->oij", wJp, Jp), prob.obs_point, num_segments=P
+        jnp.einsum("oki,okj->oij", wJp, Jp), prob.obs_point, num_segments=P,
+        indices_are_sorted=True,
     )
     bp = jax.ops.segment_sum(
-        jnp.einsum("oki,ok->oi", wJp, r), prob.obs_point, num_segments=P
+        jnp.einsum("oki,ok->oi", wJp, r), prob.obs_point, num_segments=P,
+        indices_are_sorted=True,
     )
 
     # Rotation-prior residuals add to the pose diagonal (rvec part only).
@@ -373,15 +437,15 @@ def _assemble_blocks(prob: BAProblem, poses, points, lam, scale, psum_axis=None)
     # masked anyway.
     V = V + (1.0 - prob.point_free)[:, None, None] * jnp.eye(3)[None]
 
-    Vinv = jnp.linalg.inv(V)  # (P, 3, 3) batched
+    Vinv = _inv3x3(V)  # (P, 3, 3) batched, closed form
 
     # Per-observation camera-point coupling G_o = Jc^T W Jp (6, 3).
     G = jnp.einsum("oki,okj->oij", wJc, Jp)  # (O, 6, 3)
     T = jnp.einsum("oij,ojk->oik", G, Vinv[prob.obs_point])  # (O, 6, 3)
 
     # Reduced gradient: g = bc - sum_o T_o bp[pt_o] scattered to img_o.
-    g_local = jax.ops.segment_sum(
-        jnp.einsum("oij,oj->oi", T, bp[prob.obs_point]), prob.obs_image, num_segments=I
+    g_local = _seg_by_image(
+        prob, jnp.einsum("oij,oj->oi", T, bp[prob.obs_point]), I
     )
     if psum_axis is not None:
         g_local = jax.lax.psum(g_local, psum_axis)
@@ -393,7 +457,8 @@ def _backsub_points(prob: BAProblem, Vinv, bp, G, dc):
     """dp_p = -V^-1 (bp_p + sum_{o in p} G_o^T dc[img_o])."""
     P = bp.shape[0]
     Gt_dc = jax.ops.segment_sum(
-        jnp.einsum("oij,oi->oj", G, dc[prob.obs_image]), prob.obs_point, num_segments=P
+        jnp.einsum("oij,oi->oj", G, dc[prob.obs_image]), prob.obs_point,
+        num_segments=P, indices_are_sorted=True,
     )
     dp = -jnp.einsum("pij,pj->pi", Vinv, bp + Gt_dc)
     return dp * prob.point_free[:, None]
@@ -467,7 +532,8 @@ def _lm_step_cg(prob: BAProblem, poses, points, lam, scale,
     def matvec(x):  # x (I, 6), free-masked
         y = jnp.einsum("iab,ib->ia", U, x)
         t = jnp.einsum("oij,oi->oj", G, x[prob.obs_image])  # (O, 3)
-        tp = jax.ops.segment_sum(t, prob.obs_point, num_segments=bp.shape[0])
+        tp = jax.ops.segment_sum(t, prob.obs_point, num_segments=bp.shape[0],
+                                 indices_are_sorted=True)
         s = jnp.einsum("pij,pj->pi", Vinv, tp)
         y2 = jax.ops.segment_sum(
             jnp.einsum("oij,oj->oi", G, s[prob.obs_point]),
