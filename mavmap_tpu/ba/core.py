@@ -145,8 +145,9 @@ def build_problem(
     # observations including a == b — the Schur product subtracts
     # G_a V^-1 G_b^T for every such pair. Fully vectorized (this runs once
     # per BA call; a Python per-track loop would dominate frame time).
-    order = np.argsort(obs_point, kind="stable")
-    sorted_pts = obs_point[order]
+    # Observations are already point-sorted above -> identity permutation.
+    order = np.arange(O)
+    sorted_pts = obs_point
     if not with_pairs:
         # CG solver: the Schur matvec is matrix-free, no pair list needed
         # (the O(sum k^2) enumeration is the memory/compute hog at scale).
@@ -195,10 +196,14 @@ def build_problem(
     # run as SORTED segment sums (same trick as the by-point main order).
     img_order = np.argsort(obs_image, kind="stable") if O else np.zeros(0, np.int64)
     obs_image_sorted = obs_image[img_order] if O else np.zeros(0, np.int32)
-    # Padding: point rows past O are masked zeros; route them to the last
-    # real image/obs so both sorted invariants hold.
-    img_order_p = pad(img_order.astype(np.int32), obs_capacity,
-                      fill=max(O - 1, 0))
+    # Padding: img_order must gather the padded rows THEMSELVES (their
+    # values are masked zeros) — gathering any real row would double-count
+    # it into the normal equations. obs_image_sorted pads with the last
+    # image index to keep the sorted invariant.
+    img_order_p = np.concatenate([
+        img_order.astype(np.int32),
+        np.arange(O, obs_capacity, dtype=np.int32),
+    ])
     obs_image_sorted_p = pad(obs_image_sorted, obs_capacity,
                              fill=int(obs_image_sorted[-1]) if O else 0)
 
@@ -831,13 +836,15 @@ def _resolve_solver(prob: BAProblem, options: BAOptions) -> str:
     """Pick the reduced-camera-system solver.
 
     A problem built with with_pairs=False has no co-observation pair list
-    and can only use CG; "auto" also prefers CG for many-camera problems
-    where materializing the (6I,6I) Schur matrix stops paying off.
+    and can only use CG; when the caller paid for a pair list, "auto" uses
+    the exact dense solve (callers choose CG by building with
+    with_pairs=False — keyed on the same camera-count threshold, so the
+    pair list is never enumerated-and-discarded).
     """
     if prob.pair_a.shape[0] == 0 and int(prob.obs_mask.shape[0]) > 0:
         return "cg"
     if options.solver == "auto":
-        return "cg" if prob.poses.shape[0] >= 64 else "dense"
+        return "dense"
     return options.solver
 
 
@@ -896,6 +903,12 @@ def bundle_adjust(prob: BAProblem, options: BAOptions = BAOptions(),
     if options.refine_camera_params:
         from ..models.camera import CAMERA_MODEL_NUM_PARAMS
 
+        if prob.pair_a.shape[0] == 0 and int(prob.obs_mask.shape[0]) > 0:
+            raise ValueError(
+                "refine_camera_params requires a problem built with "
+                "with_pairs=True (the self-calibration reduced system has "
+                "no matrix-free CG path)"
+            )
         cam_free = np.zeros(prob.cam_params.shape, np.float32)
         models = np.asarray(prob.cam_models)
         for c in range(len(models)):

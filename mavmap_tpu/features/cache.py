@@ -31,6 +31,7 @@ class FeatureCache:
         os.makedirs(cache_path, exist_ok=True)
         blob = json.dumps(params, sort_keys=True).encode()
         self.fingerprint = hashlib.sha256(blob).hexdigest()[:16]
+        self._dims_cache = {}
 
     def _file(self, name):
         return os.path.join(self.cache_path, f"{name}.npz")
@@ -39,11 +40,11 @@ class FeatureCache:
         """Features for image `name` — read-on-hit, extract-on-miss."""
         path = self._file(name)
         if os.path.exists(path):
-            data = np.load(path)
-            if str(data.get("fingerprint")) == self.fingerprint:
-                return Features.from_arrays(
-                    data["keypoints"], data["descriptors"], self.capacity
-                )
+            with np.load(path) as data:
+                if str(data.get("fingerprint")) == self.fingerprint:
+                    return Features.from_arrays(
+                        data["keypoints"], data["descriptors"], self.capacity
+                    )
         if self.detector is None:
             raise FileNotFoundError(
                 f"no cached features for {name} and no detector configured"
@@ -66,14 +67,19 @@ class FeatureCache:
         (feature_cache.cc:168-195,222-243): dims are persisted alongside
         the features at extraction time. Returns (0, 0, 0.0) when unknown
         (pre-dims cache entries or array providers)."""
+        if name in self._dims_cache:
+            return self._dims_cache[name]
         path = self._file(name)
         if not os.path.exists(path):
             self.query(image_idx, name)
-        data = np.load(path)
-        if "dims" not in data:
-            return 0, 0, 0.0
-        rows, cols = (int(v) for v in data["dims"])
-        return rows, cols, float(np.hypot(rows, cols))
+        with np.load(path) as data:
+            if "dims" not in data:
+                out = (0, 0, 0.0)
+            else:
+                rows, cols = (int(v) for v in data["dims"])
+                out = (rows, cols, float(np.hypot(rows, cols)))
+        self._dims_cache[name] = out
+        return out
 
     def clear(self):
         for f in os.listdir(self.cache_path):

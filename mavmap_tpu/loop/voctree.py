@@ -71,13 +71,21 @@ class VocTree:
         don't use, are ignored).
         """
         with open(path, "rb") as f:
-            visualwords, levels, splits, nrcenters = np.fromfile(
-                f, np.int32, 4
+            visualwords, levels, splits, nrcenters = (
+                int(v) for v in np.fromfile(f, np.int32, 4)
             )
-            if levels > 10 or splits > 100000:
+            if not (0 < levels <= 10 and 1 < splits <= 100000):
                 raise ValueError("corrupt voc-tree binary (header sanity)")
-            voc = np.fromfile(f, np.uint8, int(nrcenters) * 128)
-        voc = voc.reshape(int(nrcenters), 128).astype(np.float32)
+            expected = sum(splits ** (l + 1) for l in range(levels))
+            if nrcenters != expected:
+                raise ValueError(
+                    f"corrupt voc-tree binary: nrcenters={nrcenters}, "
+                    f"expected {expected} for a complete {splits}^{levels} tree"
+                )
+            voc = np.fromfile(f, np.uint8, nrcenters * 128)
+            if voc.size != nrcenters * 128:
+                raise ValueError("corrupt voc-tree binary (truncated centers)")
+        voc = voc.reshape(nrcenters, 128).astype(np.float32)
         voc = (voc - 127.0) / 127.0
         centers = []
         pos = 0

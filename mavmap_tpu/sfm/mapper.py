@@ -245,8 +245,9 @@ class SequentialMapper:
                 tag="matches-inlier")
         if num_matches < 5:
             return False
-        # Gate 1: disparity (px).
-        if options.min_disparity > 0 and float(r.med_disparity) < options.min_disparity:
+        # Gate 1: disparity (px; relative values scale by frame diagonal).
+        if options.min_disparity > 0 and float(r.med_disparity) < \
+                self._abs_disparity(options.min_disparity, second_idx):
             return False
         # Gate 2: homography inlier ratio.
         max_hom = rel2abs_threshold(options.max_homography_inliers, num_matches)
@@ -826,7 +827,9 @@ class SequentialMapper:
             # Large (global) problems solve the reduced camera system with
             # matrix-free Schur CG — skip the O(sum track_len^2) pair
             # enumeration entirely (it dominates host time and HBM there).
-            with_pairs=len(sel_ids) < 64,
+            # Self-calibration's reduced system has no CG path yet — it
+            # always needs the pair list.
+            with_pairs=(len(sel_ids) < 64) or ba_options.refine_camera_params,
         )
         n_obs = len(obs_xy)
         if async_ and not ba_options.refine_camera_params:

@@ -82,43 +82,48 @@ def _collect_points(mapper, min_track_len=2, max_error=None,
 
 def _point_colors(mapper, pids, image_reader):
     """Mean 3x3-window color per 3-D point over all observing images
-    (reference sequential_mapper.cc:1559-1597). Returns (N, 3) uint8."""
+    (reference sequential_mapper.cc:1559-1597). Returns (N, 3) uint8.
+
+    Iterates IMAGE-major so only one decoded frame is in memory at a time
+    (a survey of hundreds of 20-MP frames would not fit otherwise).
+    """
     store = mapper.store
-    img_cache = {}
-
-    def image_of(iid):
-        if iid not in img_cache:
-            idx = mapper.image_id_to_idx[iid]
-            im = image_reader(idx)
-            if im is not None:
-                im = np.asarray(im)
-                if im.ndim == 2:
-                    im = np.stack([im] * 3, -1)
-            img_cache[iid] = im
-        return img_cache[iid]
-
-    colors = np.zeros((len(pids), 3), np.uint8)
-    any_image = False
-    for k, pid in enumerate(pids):
-        acc, n = np.zeros(3), 0
+    row_of_pid = {pid: k for k, pid in enumerate(pids)}
+    # Group observations by image id.
+    by_image = {}
+    for pid in pids:
         for p2d in store.tracks[pid]:
-            iid = int(store.point2D_image[p2d])
-            im = image_of(iid)
-            if im is None:
-                continue
-            any_image = True
+            by_image.setdefault(int(store.point2D_image[p2d]), []).append(
+                (pid, p2d)
+            )
+    acc = np.zeros((len(pids), 3), np.float64)
+    cnt = np.zeros(len(pids), np.int64)
+    any_image = False
+    for iid, obs in sorted(by_image.items()):
+        im = image_reader(mapper.image_id_to_idx[iid])
+        if im is None:
+            continue
+        im = np.asarray(im)
+        if im.ndim == 2:
+            im = np.stack([im] * 3, -1)
+        any_image = True
+        H, W = im.shape[:2]
+        for pid, p2d in obs:
             x, y = store.point2D_xy[p2d]
             xi, yi = int(round(x)), int(round(y))
-            H, W = im.shape[:2]
             y0, y1 = max(yi - 1, 0), min(yi + 2, H)
             x0, x1 = max(xi - 1, 0), min(xi + 2, W)
             if y0 >= y1 or x0 >= x1:
                 continue
-            acc += im[y0:y1, x0:x1, :3].reshape(-1, 3).mean(axis=0)
-            n += 1
-        if n:
-            colors[k] = np.clip(acc / n, 0, 255)
-    return colors if any_image else None
+            k = row_of_pid[pid]
+            acc[k] += im[y0:y1, x0:x1, :3].reshape(-1, 3).mean(axis=0)
+            cnt[k] += 1
+    if not any_image:
+        return None
+    colors = np.zeros((len(pids), 3), np.uint8)
+    nz = cnt > 0
+    colors[nz] = np.clip(acc[nz] / cnt[nz, None], 0, 255)
+    return colors
 
 
 def write_point_cloud_data(mapper, path, min_track_len=2, max_error=None,
@@ -238,8 +243,10 @@ def write_tracks(mapper, path, image_idx, image_reader, max_num_points=50,
     store.sync()
     image_id = mapper.image_idx_to_id[image_idx]
     p2d_ids = store.point2D_ids_of_image(image_id)
+    # Collect (pid, track_len, obs) then group by source image so each
+    # frame is decoded exactly once.
     num_points = 0
-    num_written = 0
+    by_image = {}
     for p2d in p2d_ids:
         if num_points >= max_num_points:
             break
@@ -248,16 +255,18 @@ def write_tracks(mapper, path, image_idx, image_reader, max_num_points=50,
             continue
         num_points += 1
         track = store.tracks[pid]
-        tl = len(track)
         for obs_p2d in track:
             obs_iid = int(store.point2D_image[obs_p2d])
-            obs_idx = mapper.image_id_to_idx[obs_iid]
-            im = image_reader(obs_idx)
-            if im is None:
-                continue
-            im = np.asarray(im).astype(np.uint8)
-            if im.ndim == 2:
-                im = np.stack([im] * 3, -1)
+            by_image.setdefault(obs_iid, []).append((pid, len(track), obs_p2d))
+    num_written = 0
+    for obs_iid, entries in sorted(by_image.items()):
+        im = image_reader(mapper.image_id_to_idx[obs_iid])
+        if im is None:
+            continue
+        im = np.asarray(im).astype(np.uint8)
+        if im.ndim == 2:
+            im = np.stack([im] * 3, -1)
+        for pid, tl, obs_p2d in entries:
             img = Image.fromarray(im[..., :3])
             draw = ImageDraw.Draw(img)
             x, y = store.point2D_xy[obs_p2d]

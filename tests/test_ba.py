@@ -262,3 +262,32 @@ def test_ba_cg_no_pair_list(rng):
     assert float(info["final_cost"]) < 1e-3
     assert np.abs(np.asarray(poses) - poses_gt).max() < 1e-3
     assert np.abs(np.asarray(points) - X).max() < 1e-2
+
+
+def test_bucketed_problem_matches_unbucketed(rng):
+    """Bucketing (padding obs/poses/points) must not change the solution —
+    regression test for the img_order padding bug that double-counted the
+    last real observation into the padded rows' image block."""
+    K, X, poses_gt, oi, op, uv = _make_scene(rng, I=5, P=120, noise=0.3)
+    poses0 = poses_gt.copy()
+    poses0[2:] += rng.normal(size=poses0[2:].shape) * 0.01
+    X0 = X + rng.normal(size=X.shape) * 0.03
+    states = [BA_POSE_FIXED, BA_POSE_FIXED_X] + [0] * (len(poses_gt) - 2)
+    pa = build_problem(poses0, X0, K, [cam.PINHOLE], oi, op,
+                       np.zeros_like(oi), uv, pose_states=states)
+    pb = build_problem(poses0, X0, K, [cam.PINHOLE], oi, op,
+                       np.zeros_like(oi), uv, pose_states=states, bucket=True)
+    o = BAOptions(max_num_iterations=20)
+    p1, x1, i1 = bundle_adjust(pa, o)
+    p2, x2, i2 = bundle_adjust(pb, o)
+    n_poses, n_pts = len(poses_gt), len(X)
+    assert np.abs(np.asarray(p2)[:n_poses] - np.asarray(p1)).max() < 1e-4
+    assert np.abs(np.asarray(x2)[:n_pts] - np.asarray(x1)).max() < 1e-3
+
+    # Same invariant on the CG path.
+    pc = build_problem(poses0, X0, K, [cam.PINHOLE], oi, op,
+                       np.zeros_like(oi), uv, pose_states=states,
+                       bucket=True, with_pairs=False)
+    p3, x3, i3 = bundle_adjust(pc, BAOptions(max_num_iterations=20,
+                                             cg_tol=1e-6))
+    assert np.abs(np.asarray(p3)[:n_poses] - np.asarray(p1)).max() < 1e-3
