@@ -532,17 +532,17 @@ class SequentialMapper:
             other = int(other)
             if other == image_idx or self.is_pair_processed(image_idx, other):
                 continue
-            if not (self.is_image_processed(image_idx)
-                    or self.is_image_processed(other)):
-                continue
-            # The batched kernel registers current against PROCESSED prevs.
+            # The batched kernel registers current against PROCESSED prevs;
+            # the current image itself may be unregistered (rescue path) —
+            # the first successful commit sets its pose, exactly like a
+            # sequential process() would.
             if not self.is_image_processed(other):
                 continue
             runnable.append(other)
 
         num_successes = 0
         num_nh = 0
-        if runnable and self.is_image_processed(image_idx):
+        if runnable:
             results = self._batch_register_candidates(image_idx, runnable,
                                                       options)
             for other, (r, prev_p2d, has_tri, tri_nt) in zip(runnable, results):
@@ -554,20 +554,6 @@ class SequentialMapper:
                     continue
                 if self._register_commit(image_idx, other, r, options,
                                          prev_p2d, has_tri, tri_nt):
-                    if verbose:
-                        print(f"Closed loop to image #{other}")
-                    num_successes += 1
-                    if distance <= nh_distance:
-                        num_nh += 1
-        else:
-            # Current image not yet registered (rescue path): fall back to
-            # sequential process(), which can register it against the first
-            # successful candidate.
-            for other in runnable:
-                distance = abs(other - image_idx)
-                if not (num_nh < num_nh_images or distance > nh_distance):
-                    continue
-                if self.process(image_idx, other, options):
                     if verbose:
                         print(f"Closed loop to image #{other}")
                     num_successes += 1
