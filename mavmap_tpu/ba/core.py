@@ -711,7 +711,7 @@ def _lm_step_selfcal(prob: BAProblem, poses, points, cam_params, cam_free,
     free = jnp.concatenate([pose_free9, cam_free], axis=0).reshape(B * 9)
     Sd = S.transpose(0, 2, 1, 3).reshape(B * 9, B * 9)
     Sd = Sd * free[:, None] * free[None, :] + jnp.diag(1.0 - free)
-    gd = g.reshape(B * 9) * free
+    gd = g_red.reshape(B * 9) * free  # REDUCED gradient (g alone is wrong)
     dx = -jnp.linalg.solve(Sd, gd).reshape(B, 9)
     dc = dx[:I, :6] * prob.pose_free
     dk = dx[I:] * cam_free
@@ -721,6 +721,171 @@ def _lm_step_selfcal(prob: BAProblem, poses, points, cam_params, cam_free,
         jax.ops.segment_sum(
             jnp.einsum("oij,oi->oj", G[:, a], dx[blk[:, a]]),
             prob.obs_point, num_segments=P,
+        )
+        for a in range(2)
+    )
+    dp = -jnp.einsum("pij,pj->pi", Vinv, bp + Gt_dx)
+    dp = dp * prob.point_free[:, None]
+    return dc, dp, dk
+
+
+def _lm_step_selfcal_cg(prob: BAProblem, poses, points, cam_params, cam_free,
+                        lam, scale, cg_iters: int, cg_tol):
+    """Matrix-free preconditioned CG version of _lm_step_selfcal: the
+    reduced system over 9*(I + C) variables is never materialized (the
+    dense path's (B, B, 9, 9) Schur tensor and pair enumeration are the
+    memory hogs past a few hundred cameras). Same block structure: each
+    observation carries two camera-side entries — its pose block (9-padded
+    from 6) and its shared-intrinsics block."""
+    I = poses.shape[0]
+    P = points.shape[0]
+    C = cam_params.shape[0]
+    B = I + C
+
+    r, Jc, Jp, Jk = _obs_jacobians_full(prob, poses, points, cam_params)
+    w = _cauchy_weight(jnp.sum(r * r, axis=-1), scale)
+    w = jnp.where(prob.obs_mask, w, 0.0)
+    Jc = Jc * prob.pose_free[prob.obs_image][:, None, :]
+    Jp = Jp * prob.point_free[prob.obs_point][:, None, None]
+    Jk = Jk * cam_free[prob.obs_cam][:, None, :]
+
+    Jc9 = jnp.concatenate([Jc, jnp.zeros_like(Jc[..., :3])], axis=-1)
+    E = jnp.stack([Jc9, Jk], axis=1)                     # (O, 2, 2, 9)
+    blk = jnp.stack([prob.obs_image, I + prob.obs_cam], axis=1)  # (O, 2)
+    wE = w[:, None, None, None] * E
+
+    # Gradient + direct DIAGONAL blocks (preconditioner only needs these).
+    g = jnp.zeros((B, 9))
+    Ddiag = jnp.zeros((B, 9, 9))
+    for a in range(2):
+        g = g + jax.ops.segment_sum(
+            jnp.einsum("oki,ok->oi", wE[:, a], r), blk[:, a], num_segments=B
+        )
+        Ddiag = Ddiag + jax.ops.segment_sum(
+            jnp.einsum("oki,okj->oij", wE[:, a], E[:, a]),
+            blk[:, a], num_segments=B,
+        )
+
+    # Point blocks.
+    wJp = w[:, None, None] * Jp
+    V = jax.ops.segment_sum(jnp.einsum("oki,okj->oij", wJp, Jp),
+                            prob.obs_point, num_segments=P,
+                            indices_are_sorted=True)
+    bp = jax.ops.segment_sum(jnp.einsum("oki,ok->oi", wJp, r),
+                             prob.obs_point, num_segments=P,
+                             indices_are_sorted=True)
+    dV = jnp.diagonal(V, axis1=-2, axis2=-1)
+    V = V + (lam * (dV + 1e-6))[..., None] * jnp.eye(3)
+    V = V + (1.0 - prob.point_free)[:, None, None] * jnp.eye(3)[None]
+    Vinv = _inv3x3(V)
+
+    # Rotation priors (pose blocks only).
+    def rot_one(pose, prior, wgt, free):
+        def f(p):
+            R = rotmat_from_rvec(p[:3])
+            R0 = rotmat_from_rvec(prior)
+            return (wgt * (R - R0)).reshape(9)
+
+        rr = f(pose)
+        Jr = jax.jacfwd(f)(pose) * free[None, :]
+        return Jr.T @ Jr, Jr.T @ rr
+
+    Ur, br = jax.vmap(rot_one)(poses, prob.rot_prior, prob.rot_prior_weight,
+                               prob.pose_free)
+    Ur9 = jnp.zeros((I, 9, 9)).at[:, :6, :6].set(Ur)
+    Ur9B = jnp.concatenate([Ur9, jnp.zeros((C, 9, 9))], axis=0)
+    Ddiag = Ddiag + Ur9B
+    g = g.at[:I, :6].add(br)
+
+    # Couplings per entry: G_a = E_a^T W Jp (9, 3), T_a = G_a V^-1.
+    G = jnp.einsum("oaki,okj->oaij", wE, Jp)             # (O, 2, 9, 3)
+    T = jnp.einsum("oaij,ojk->oaik", G, Vinv[prob.obs_point])
+
+    g_red = g - sum(
+        jax.ops.segment_sum(
+            jnp.einsum("oij,oj->oi", T[:, a], bp[prob.obs_point]),
+            blk[:, a], num_segments=B,
+        )
+        for a in range(2)
+    )
+
+    # Marquardt damping from the undamped direct diagonal.
+    dH = jnp.diagonal(Ddiag, axis1=-2, axis2=-1)
+    damp = (lam * (dH + 1e-6))
+
+    pose_free9 = jnp.concatenate([prob.pose_free, jnp.zeros((I, 3))], axis=1)
+    free = jnp.concatenate([pose_free9, cam_free], axis=0)  # (B, 9)
+
+    # Block-Jacobi preconditioner: damped diagonal of the Schur complement.
+    D_schur = sum(
+        jax.ops.segment_sum(
+            jnp.einsum("oij,okj->oik", T[:, a], G[:, a]),
+            blk[:, a], num_segments=B,
+        )
+        for a in range(2)
+    )
+    D = Ddiag + jax.vmap(jnp.diag)(damp) - D_schur
+    D = D * free[:, :, None] * free[:, None, :]
+    D = D + jax.vmap(jnp.diag)(1.0 - free)
+    Minv = jnp.linalg.inv(D)
+
+    def matvec(x):  # x (B, 9), free-masked
+        xa = x[blk]                                       # (O, 2, 9)
+        u = w[:, None] * jnp.einsum("oakj,oaj->ok", E, xa)  # (O, 2)
+        y = jnp.zeros((B, 9))
+        for a in range(2):
+            y = y + jax.ops.segment_sum(
+                jnp.einsum("oki,ok->oi", E[:, a], u), blk[:, a],
+                num_segments=B,
+            )
+        # Rotation prior + damping on the diagonal.
+        y = y.at[:I].add(jnp.einsum("iab,ib->ia", Ur9, x[:I]))
+        y = y + damp * x
+        # Schur term.
+        t = jnp.einsum("oaij,oai->oj", G, xa)             # (O, 3)
+        tp = jax.ops.segment_sum(t, prob.obs_point, num_segments=P,
+                                 indices_are_sorted=True)
+        s = jnp.einsum("pij,pj->pi", Vinv, tp)
+        for a in range(2):
+            y = y - jax.ops.segment_sum(
+                jnp.einsum("oij,oj->oi", G[:, a], s[prob.obs_point]),
+                blk[:, a], num_segments=B,
+            )
+        return y * free
+
+    b = -g_red * free
+    r0n = jnp.sqrt(jnp.sum(b * b))
+    x = jnp.zeros_like(b)
+    res = b
+    z = jnp.einsum("iab,ib->ia", Minv, res) * free
+    p = z
+    rz = jnp.sum(res * z)
+
+    def cg_cond(state):
+        _, rr_, _, _, it = state
+        return (it < cg_iters) & (jnp.sqrt(jnp.sum(rr_ * rr_)) > cg_tol * r0n)
+
+    def cg_body(state):
+        x, rr_, p, rz, it = state
+        Sp = matvec(p)
+        alpha = rz / jnp.maximum(jnp.sum(p * Sp), 1e-30)
+        x = x + alpha * p
+        rr_ = rr_ - alpha * Sp
+        z = jnp.einsum("iab,ib->ia", Minv, rr_) * free
+        rz_new = jnp.sum(rr_ * z)
+        beta = rz_new / jnp.maximum(rz, 1e-30)
+        p = z + beta * p
+        return x, rr_, p, rz_new, it + 1
+
+    x, _, _, _, _ = jax.lax.while_loop(cg_cond, cg_body, (x, res, p, rz, 0))
+    dx = x * free
+    dc = dx[:I, :6] * prob.pose_free
+    dk = dx[I:] * cam_free
+
+    Gt_dx = sum(
+        jax.ops.segment_sum(
+            jnp.einsum("oij,oi->oj", G[:, a], dx[blk[:, a]]),
+            prob.obs_point, num_segments=P, indices_are_sorted=True,
         )
         for a in range(2)
     )
@@ -743,17 +908,24 @@ def total_cost_selfcal(prob: BAProblem, poses, points, cam_params, scale):
     return cost + 0.5 * jnp.sum(rr * rr)
 
 
-@partial(jax.jit, static_argnames=("max_iters",))
+@partial(jax.jit, static_argnames=("max_iters", "solver", "cg_max_iters"))
 def _lm_loop_selfcal(prob: BAProblem, cam_free, scale, lambda_init, lambda_up,
-                     lambda_down, function_tolerance, max_iters: int):
+                     lambda_down, function_tolerance, max_iters: int,
+                     solver: str = "dense", cg_max_iters: int = 100,
+                     cg_tol: float = 1e-3):
     def cond(state):
         _, _, _, _, it, done, _ = state
         return (it < max_iters) & (~done)
 
     def body(state):
         poses, points, cams, lam, it, done, cost = state
-        dc, dp, dk = _lm_step_selfcal(prob, poses, points, cams, cam_free,
-                                      lam, scale)
+        if solver == "cg":
+            dc, dp, dk = _lm_step_selfcal_cg(prob, poses, points, cams,
+                                             cam_free, lam, scale,
+                                             cg_max_iters, cg_tol)
+        else:
+            dc, dp, dk = _lm_step_selfcal(prob, poses, points, cams, cam_free,
+                                          lam, scale)
         new_poses = poses + dc
         new_points = points + dp
         new_cams = cams + dk
@@ -903,12 +1075,6 @@ def bundle_adjust(prob: BAProblem, options: BAOptions = BAOptions(),
     if options.refine_camera_params:
         from ..models.camera import CAMERA_MODEL_NUM_PARAMS
 
-        if prob.pair_a.shape[0] == 0 and int(prob.obs_mask.shape[0]) > 0:
-            raise ValueError(
-                "refine_camera_params requires a problem built with "
-                "with_pairs=True (the self-calibration reduced system has "
-                "no matrix-free CG path)"
-            )
         cam_free = np.zeros(prob.cam_params.shape, np.float32)
         models = np.asarray(prob.cam_models)
         for c in range(len(models)):
@@ -923,6 +1089,9 @@ def bundle_adjust(prob: BAProblem, options: BAOptions = BAOptions(),
                 options.lambda_down,
                 options.function_tolerance,
                 options.max_num_iterations,
+                solver=_resolve_solver(prob, options),
+                cg_max_iters=options.cg_max_iters,
+                cg_tol=options.cg_tol,
             )
         )
         prob = prob._replace(cam_params=jnp.asarray(cams))

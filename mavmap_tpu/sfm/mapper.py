@@ -813,9 +813,7 @@ class SequentialMapper:
             # Large (global) problems solve the reduced camera system with
             # matrix-free Schur CG — skip the O(sum track_len^2) pair
             # enumeration entirely (it dominates host time and HBM there).
-            # Self-calibration's reduced system has no CG path yet — it
-            # always needs the pair list.
-            with_pairs=(len(sel_ids) < 64) or ba_options.refine_camera_params,
+            with_pairs=len(sel_ids) < 64,
         )
         n_obs = len(obs_xy)
         if async_ and not ba_options.refine_camera_params:

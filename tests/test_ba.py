@@ -291,3 +291,29 @@ def test_bucketed_problem_matches_unbucketed(rng):
     p3, x3, i3 = bundle_adjust(pc, BAOptions(max_num_iterations=20,
                                              cg_tol=1e-6))
     assert np.abs(np.asarray(p3)[:n_poses] - np.asarray(p1)).max() < 1e-3
+
+
+def test_ba_selfcal_cg_matches_dense(rng):
+    """Matrix-free selfcal CG == dense selfcal Schur solve."""
+    K, X, poses_gt, oi, op, uv = _make_scene(rng, I=6, P=150, noise=0.3)
+    K0 = K.copy()
+    K0[0, 0] *= 1.02  # perturbed focal to recover
+    K0[0, 1] *= 0.985
+    poses0 = poses_gt.copy()
+    poses0[2:] += rng.normal(size=poses0[2:].shape) * 0.01
+    X0 = X + rng.normal(size=X.shape) * 0.05
+    states = [BA_POSE_FIXED, BA_POSE_FIXED_X] + [0] * (len(poses_gt) - 2)
+    o = dict(max_num_iterations=25, refine_camera_params=True)
+    pd_prob = build_problem(poses0, X0, K0, [cam.PINHOLE], oi, op,
+                            np.zeros_like(oi), uv, pose_states=states)
+    cg_prob = build_problem(poses0, X0, K0, [cam.PINHOLE], oi, op,
+                            np.zeros_like(oi), uv, pose_states=states,
+                            with_pairs=False)
+    pd, xd, infod = bundle_adjust(pd_prob, BAOptions(**o, solver="dense"))
+    pc, xc, infoc = bundle_adjust(cg_prob, BAOptions(**o, solver="cg",
+                                                     cg_tol=1e-6))
+    assert np.abs(np.asarray(pc) - np.asarray(pd)).max() < 1e-3
+    kd, kc = infod["cam_params"], infoc["cam_params"]
+    assert np.abs(kd - kc).max() < 1e-2
+    # Both recover the true focal lengths.
+    assert np.abs(kc[0, :2] - K[0, :2]).max() < 2.0
