@@ -1,0 +1,37 @@
+"""Scratch: 500-image survey end-to-end on one TPU chip."""
+import time
+import numpy as np
+import jax.numpy as jnp
+from mavmap_tpu.features import ArrayFeatureProvider
+from mavmap_tpu.loop import train_voc_tree
+from mavmap_tpu.sfm.pipeline import PipelineOptions, run_pipeline
+from mavmap_tpu.utils.synthetic import ate_rmse, make_uav_scene, render_features
+from mavmap_tpu.ops.rotation import rotmat_from_rvec
+
+t0 = time.time()
+scene = make_uav_scene(num_images=500, num_points=40000, relief=10.0, rows=10, seed=13)
+feats, _ = render_features(scene, pixel_noise=0.3, clutter=32, seed=13)
+cap = 1024
+feats = [(k[:cap], d[:cap]) for k, d in feats]
+prov = ArrayFeatureProvider(feats, capacity=cap)
+desc = np.concatenate([d for _, d in feats[::10]])
+rng = np.random.default_rng(0)
+tree = train_voc_tree(desc[rng.permutation(len(desc))[:8000]], branching=8, depth=2, iters=3)
+print(f"scene+features in {time.time()-t0:.0f}s", flush=True)
+opts = PipelineOptions(verbose=False, tri_min_angle=1.0, init_tri_min_angle=4.0,
+                       min_track_len=2, loop_detection_period=20)
+for tag in ("cold", "warm"):
+    t0 = time.time()
+    res = run_pipeline(scene.image_cameras, scene.cam_models, scene.cam_params,
+                       prov, opts, voc_tree=tree)
+    el = time.time() - t0
+    m = res.main_mapper
+    reg_ids = [iid for iid in range(m.store.num_images) if m.store.image_registered[iid]]
+    idxs = [m.image_id_to_idx[iid] for iid in reg_ids]
+    R = np.asarray(rotmat_from_rvec(jnp.asarray(m.store.image_rvecs[reg_ids], jnp.float32)))
+    est = -np.einsum("nij,nj->ni", R.transpose(0, 2, 1), m.store.image_tvecs[reg_ids])
+    ate = ate_rmse(est, scene.camera_centers()[idxs])
+    npts = int(m.store.point3D_valid.sum())
+    print(f"{tag}: {m.num_proc_images}/500 in {el:.1f}s "
+          f"({m.num_proc_images/el:.2f} fps), maps={len(res.mappers)}, "
+          f"points={npts}, ATE={ate:.4f} m", flush=True)
