@@ -102,3 +102,26 @@ def test_mapper_pair_bookkeeping(rng):
     with pytest.raises(ValueError):
         SequentialMapper(scene.image_cameras, scene.cam_models,
                          scene.cam_params, prov).process(2, 3, opts)
+
+
+def test_relative_min_disparity_gate(rng):
+    """min_disparity < 1 is relative to the frame diagonal (reference
+    rel2abs_threshold + query_dimensions); an impossible relative threshold
+    must reject the pair, an absolute-pixels one must pass."""
+    from mavmap_tpu.utils.synthetic import make_uav_scene, render_features
+
+    scene = make_uav_scene(num_images=3, num_points=800, relief=10.0, seed=3)
+    feats, _ = render_features(scene, pixel_noise=0.3, seed=3)
+    cap = int(np.ceil(max(len(k) for k, _ in feats) / 256)) * 256
+    prov = ArrayFeatureProvider(feats, capacity=cap)
+
+    def mk(min_disp):
+        o = SequentialMapperOptions(tri_min_angle=1.0, min_disparity=min_disp,
+                                    essential_ransac_trials=256,
+                                    p3p_ransac_trials=256)
+        m = SequentialMapper(scene.image_cameras, scene.cam_models,
+                             scene.cam_params, prov)
+        return m.process_initial(0, 1, o)
+
+    assert mk(2.0)        # absolute: 2 px, trivially passes
+    assert not mk(0.9)    # relative: 0.9 * diagonal, impossible
