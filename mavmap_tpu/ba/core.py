@@ -334,6 +334,24 @@ def _obs_jacobians(prob: BAProblem, poses, points):
     return jax.vmap(one)(prob.obs_image, prob.obs_point, prob.obs_cam, prob.obs_uv)
 
 
+def _rot_prior_blocks(prob: BAProblem, poses):
+    """Per-pose (6x6 JᵀJ, 6 Jᵀr) contributions of the IMU rotation priors
+    (BARotationConstraintCostFunction, reference bundle_adjustment.cc:57-111)."""
+
+    def rot_one(pose, prior, wgt, free):
+        def f(p):
+            R = rotmat_from_rvec(p[:3])
+            R0 = rotmat_from_rvec(prior)
+            return (wgt * (R - R0)).reshape(9)
+
+        rr = f(pose)
+        Jr = jax.jacfwd(f)(pose) * free[None, :]
+        return Jr.T @ Jr, Jr.T @ rr
+
+    return jax.vmap(rot_one)(poses, prob.rot_prior, prob.rot_prior_weight,
+                             prob.pose_free)
+
+
 def _seg_by_image(prob: BAProblem, vals, I):
     """Image-keyed reduction as a sorted segment sum (gather by the
     precomputed by-image permutation, then contiguous segments)."""
@@ -415,17 +433,7 @@ def _assemble_blocks(prob: BAProblem, poses, points, lam, scale, psum_axis=None)
 
     # Rotation-prior residuals add to the pose diagonal (rvec part only).
     # Replicated data in the sharded case: added once, after the psum.
-    def rot_one(pose, prior, wgt, free):
-        def f(p):
-            R = rotmat_from_rvec(p[:3])
-            R0 = rotmat_from_rvec(prior)
-            return (wgt * (R - R0)).reshape(9)
-
-        rr = f(pose)
-        Jr = jax.jacfwd(f)(pose) * free[None, :]
-        return Jr.T @ Jr, Jr.T @ rr
-
-    Ur, br = jax.vmap(rot_one)(poses, prob.rot_prior, prob.rot_prior_weight, prob.pose_free)
+    Ur, br = _rot_prior_blocks(prob, poses)
     U = U + Ur
     bc = bc + br
 
@@ -657,18 +665,7 @@ def _lm_step_selfcal(prob: BAProblem, poses, points, cam_params, cam_free,
     Vinv = jnp.linalg.inv(V)
 
     # Rotation priors (pose blocks only).
-    def rot_one(pose, prior, wgt, free):
-        def f(p):
-            R = rotmat_from_rvec(p[:3])
-            R0 = rotmat_from_rvec(prior)
-            return (wgt * (R - R0)).reshape(9)
-
-        rr = f(pose)
-        Jr = jax.jacfwd(f)(pose) * free[None, :]
-        return Jr.T @ Jr, Jr.T @ rr
-
-    Ur, br = jax.vmap(rot_one)(poses, prob.rot_prior, prob.rot_prior_weight,
-                               prob.pose_free)
+    Ur, br = _rot_prior_blocks(prob, poses)
     Ur9 = jnp.zeros((I, 9, 9)).at[:, :6, :6].set(Ur)
     H = H.at[jnp.arange(I), jnp.arange(I)].add(Ur9)
     g = g.at[:I, :6].add(br)
@@ -780,18 +777,7 @@ def _lm_step_selfcal_cg(prob: BAProblem, poses, points, cam_params, cam_free,
     Vinv = _inv3x3(V)
 
     # Rotation priors (pose blocks only).
-    def rot_one(pose, prior, wgt, free):
-        def f(p):
-            R = rotmat_from_rvec(p[:3])
-            R0 = rotmat_from_rvec(prior)
-            return (wgt * (R - R0)).reshape(9)
-
-        rr = f(pose)
-        Jr = jax.jacfwd(f)(pose) * free[None, :]
-        return Jr.T @ Jr, Jr.T @ rr
-
-    Ur, br = jax.vmap(rot_one)(poses, prob.rot_prior, prob.rot_prior_weight,
-                               prob.pose_free)
+    Ur, br = _rot_prior_blocks(prob, poses)
     Ur9 = jnp.zeros((I, 9, 9)).at[:, :6, :6].set(Ur)
     Ur9B = jnp.concatenate([Ur9, jnp.zeros((C, 9, 9))], axis=0)
     Ddiag = Ddiag + Ur9B

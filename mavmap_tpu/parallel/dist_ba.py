@@ -29,7 +29,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ba.core import (
-    BAProblem, _obs_jacobians, _cauchy_weight, _all_residuals,
+    BAProblem, _all_residuals,
     _assemble_blocks, _backsub_points, _lm_step_cg,
 )
 from ..ops.rotation import rotmat_from_rvec
