@@ -67,25 +67,39 @@ def make_uav_scene(
     distortion=None,
     seed=0,
 ):
-    """Serpentine aerial survey over a terrain patch."""
+    """Serpentine aerial survey over a terrain patch.
+
+    extent=None sizes the terrain point field to the FLIGHT PLAN (plus one
+    frustum margin) so every frame sees points regardless of num_images /
+    rows — with a fixed extent, long surveys fly off the textured area and
+    registration collapses.
+    """
     rng = np.random.default_rng(seed)
     w, h = image_size
 
+    per_row = int(np.ceil(num_images / rows))
+    # Row spacing sized for cross-row frustum overlap: at nadir the frustum
+    # half-height is ~altitude * (h/2)/focal; step a fraction of that.
+    row_step = 0.8 * altitude * (image_size[1] / 2.0) / focal
+    half_w = altitude * (w / 2.0) / focal
+    half_h = altitude * (h / 2.0) / focal
+    if extent is None:
+        x_lo, x_hi = -half_w, (per_row - 1) * overlap_step + half_w
+        y_lo, y_hi = -half_h, (rows - 1) * row_step + half_h
+    else:
+        x_lo, x_hi = -extent * 0.2, extent * 1.2
+        y_lo, y_hi = -extent * 0.2, extent * 0.7
+
     pts = np.stack(
         [
-            rng.uniform(-extent * 0.2, extent * 1.2, num_points),
-            rng.uniform(-extent * 0.2, extent * 0.7, num_points),
+            rng.uniform(x_lo, x_hi, num_points),
+            rng.uniform(y_lo, y_hi, num_points),
             rng.uniform(0.0, relief, num_points),
         ],
         axis=-1,
     )
     desc = rng.normal(size=(num_points, descriptor_dim)).astype(np.float32)
     desc /= np.linalg.norm(desc, axis=-1, keepdims=True)
-
-    per_row = int(np.ceil(num_images / rows))
-    # Row spacing sized for cross-row frustum overlap: at nadir the frustum
-    # half-height is ~altitude * (h/2)/focal; step a fraction of that.
-    row_step = 0.8 * altitude * (image_size[1] / 2.0) / focal
     rvecs, tvecs = [], []
     for i in range(num_images):
         r, k = divmod(i, per_row)

@@ -9,7 +9,7 @@ from mavmap_tpu.utils.synthetic import ate_rmse, make_uav_scene, render_features
 from mavmap_tpu.ops.rotation import rotmat_from_rvec
 
 t0 = time.time()
-scene = make_uav_scene(num_images=500, num_points=40000, relief=10.0, rows=10, seed=13)
+scene = make_uav_scene(num_images=500, num_points=60000, relief=10.0, rows=10, extent=None, seed=13)
 feats, _ = render_features(scene, pixel_noise=0.3, clutter=32, seed=13)
 cap = 1024
 feats = [(k[:cap], d[:cap]) for k, d in feats]
