@@ -126,17 +126,9 @@ def main():
     fps = n_reg / elapsed
 
     # Quality check: ATE vs ground truth.
-    import jax.numpy as jnp
-    from mavmap_tpu.ops.rotation import rotmat_from_rvec
+    from mavmap_tpu.utils.synthetic import mapper_ate
 
-    reg_ids = [iid for iid in range(m.store.num_images)
-               if m.store.image_registered[iid]]
-    idxs = [m.image_id_to_idx[iid] for iid in reg_ids]
-    R = np.asarray(rotmat_from_rvec(jnp.asarray(m.store.image_rvecs[reg_ids],
-                                                jnp.float32)))
-    est = -np.einsum("nij,nj->ni", R.transpose(0, 2, 1),
-                     m.store.image_tvecs[reg_ids])
-    ate = ate_rmse(est, scene.camera_centers()[idxs])
+    ate = mapper_ate(m, scene)
 
     print(
         f"# registered {n_reg}/{NUM_IMAGES} in {elapsed:.2f}s | "

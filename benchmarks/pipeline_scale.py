@@ -26,11 +26,9 @@ for tag in ("cold",):
                        prov, opts, voc_tree=tree)
     el = time.time() - t0
     m = res.main_mapper
-    reg_ids = [iid for iid in range(m.store.num_images) if m.store.image_registered[iid]]
-    idxs = [m.image_id_to_idx[iid] for iid in reg_ids]
-    R = np.asarray(rotmat_from_rvec(jnp.asarray(m.store.image_rvecs[reg_ids], jnp.float32)))
-    est = -np.einsum("nij,nj->ni", R.transpose(0, 2, 1), m.store.image_tvecs[reg_ids])
-    ate = ate_rmse(est, scene.camera_centers()[idxs])
+    from mavmap_tpu.utils.synthetic import mapper_ate
+
+    ate = mapper_ate(m, scene)
     npts = int(m.store.point3D_valid.sum())
     print(f"{tag}: {m.num_proc_images}/500 in {el:.1f}s "
           f"({m.num_proc_images/el:.2f} fps), maps={len(res.mappers)}, "

@@ -606,134 +606,17 @@ def _obs_jacobians_full(prob: BAProblem, poses, points, cam_params):
     return jax.vmap(one)(prob.obs_image, prob.obs_point, prob.obs_cam, prob.obs_uv)
 
 
-def _lm_step_selfcal(prob: BAProblem, poses, points, cam_params, cam_free,
-                     lam, scale):
-    """One damped LM solve with SHARED per-camera intrinsics as additional
-    unknowns in the reduced camera system (reference refine_camera_params,
-    bundle_adjustment.cc:370-376: the camera_params block is variable and
-    shared by every image using that camera).
+def _assemble_selfcal_blocks(prob: BAProblem, poses, points, cam_params,
+                             cam_free, lam, scale):
+    """Shared assembly for both self-calibration solvers.
 
-    The reduced system has I pose blocks (9-padded from 6) followed by C
-    intrinsics blocks (9): dimension 9*(I + C). Every observation carries
-    TWO camera-side entries — its pose block and its camera block — and the
-    Schur pair sum runs over the 4 entry combinations per co-observation
-    pair. Returns (dposes, dpoints, dcams).
-    """
-    I = poses.shape[0]
-    P = points.shape[0]
-    C = cam_params.shape[0]
-    B = I + C
-
-    r, Jc, Jp, Jk = _obs_jacobians_full(prob, poses, points, cam_params)
-    w = _cauchy_weight(jnp.sum(r * r, axis=-1), scale)
-    w = jnp.where(prob.obs_mask, w, 0.0)
-
-    Jc = Jc * prob.pose_free[prob.obs_image][:, None, :]
-    Jp = Jp * prob.point_free[prob.obs_point][:, None, None]
-    Jk = Jk * cam_free[prob.obs_cam][:, None, :]
-
-    # 9-padded camera-side entry Jacobians: entry 0 = pose, entry 1 = cam.
-    Jc9 = jnp.concatenate([Jc, jnp.zeros_like(Jc[..., :3])], axis=-1)  # (O,2,9)
-    E = jnp.stack([Jc9, Jk], axis=1)               # (O, 2, 2, 9)
-    blk = jnp.stack([prob.obs_image, I + prob.obs_cam], axis=1)  # (O, 2)
-
-    wE = w[:, None, None, None] * E
-
-    # Direct Hessian: all entry pairs within one observation.
-    H = jnp.zeros((B * B, 9, 9))
-    g = jnp.zeros((B, 9))
-    for a in range(2):
-        for b in range(2):
-            contrib = jnp.einsum("oki,okj->oij", wE[:, a], E[:, b])
-            H = H + jax.ops.segment_sum(
-                contrib, blk[:, a] * B + blk[:, b], num_segments=B * B
-            )
-        g = g + jax.ops.segment_sum(
-            jnp.einsum("oki,ok->oi", wE[:, a], r), blk[:, a], num_segments=B
-        )
-    H = H.reshape(B, B, 9, 9)
-
-    # Point blocks.
-    wJp = w[:, None, None] * Jp
-    V = jax.ops.segment_sum(jnp.einsum("oki,okj->oij", wJp, Jp),
-                            prob.obs_point, num_segments=P)
-    bp = jax.ops.segment_sum(jnp.einsum("oki,ok->oi", wJp, r),
-                             prob.obs_point, num_segments=P)
-    dV = jnp.diagonal(V, axis1=-2, axis2=-1)
-    V = V + (lam * (dV + 1e-6))[..., None] * jnp.eye(3)
-    V = V + (1.0 - prob.point_free)[:, None, None] * jnp.eye(3)[None]
-    Vinv = jnp.linalg.inv(V)
-
-    # Rotation priors (pose blocks only).
-    Ur, br = _rot_prior_blocks(prob, poses)
-    Ur9 = jnp.zeros((I, 9, 9)).at[:, :6, :6].set(Ur)
-    H = H.at[jnp.arange(I), jnp.arange(I)].add(Ur9)
-    g = g.at[:I, :6].add(br)
-
-    # Camera-point couplings per entry: G_e = E_e^T W Jp (9, 3).
-    G = jnp.einsum("oaki,okj->oaij", wE, Jp)       # (O, 2, 9, 3)
-    T = jnp.einsum("oaij,ojk->oaik", G, Vinv[prob.obs_point])
-
-    # Schur off-diagonal over co-observation pairs x 4 entry combos.
-    S_off = jnp.zeros((B * B, 9, 9))
-    for a in range(2):
-        for b in range(2):
-            Ta = T[prob.pair_a, a]
-            Gb = G[prob.pair_b, b]
-            contrib = jnp.einsum("qij,qkj->qik", Ta, Gb)
-            contrib = jnp.where(prob.pair_mask[:, None, None], contrib, 0.0)
-            pair_blk = blk[prob.pair_a, a] * B + blk[prob.pair_b, b]
-            S_off = S_off + jax.ops.segment_sum(contrib, pair_blk,
-                                                num_segments=B * B)
-
-    g_red = g - sum(
-        jax.ops.segment_sum(
-            jnp.einsum("oij,oj->oi", T[:, a], bp[prob.obs_point]),
-            blk[:, a], num_segments=B,
-        )
-        for a in range(2)
-    )
-
-    S = H - S_off.reshape(B, B, 9, 9)
-    # Marquardt damping on the diagonal blocks (diag of the UNDAMPED H).
-    dH = jnp.diagonal(H[jnp.arange(B), jnp.arange(B)], axis1=-2, axis2=-1)
-    S = S.at[jnp.arange(B), jnp.arange(B)].add(
-        (lam * (dH + 1e-6))[..., None] * jnp.eye(9)
-    )
-
-    # Free mask over the 9B flat system: poses use 6 of 9; cams use cam_free.
-    pose_free9 = jnp.concatenate(
-        [prob.pose_free, jnp.zeros((I, 3))], axis=1
-    )
-    free = jnp.concatenate([pose_free9, cam_free], axis=0).reshape(B * 9)
-    Sd = S.transpose(0, 2, 1, 3).reshape(B * 9, B * 9)
-    Sd = Sd * free[:, None] * free[None, :] + jnp.diag(1.0 - free)
-    gd = g_red.reshape(B * 9) * free  # REDUCED gradient (g alone is wrong)
-    dx = -jnp.linalg.solve(Sd, gd).reshape(B, 9)
-    dc = dx[:I, :6] * prob.pose_free
-    dk = dx[I:] * cam_free
-
-    # Back-substitution.
-    Gt_dx = sum(
-        jax.ops.segment_sum(
-            jnp.einsum("oij,oi->oj", G[:, a], dx[blk[:, a]]),
-            prob.obs_point, num_segments=P,
-        )
-        for a in range(2)
-    )
-    dp = -jnp.einsum("pij,pj->pi", Vinv, bp + Gt_dx)
-    dp = dp * prob.point_free[:, None]
-    return dc, dp, dk
-
-
-def _lm_step_selfcal_cg(prob: BAProblem, poses, points, cam_params, cam_free,
-                        lam, scale, cg_iters: int, cg_tol):
-    """Matrix-free preconditioned CG version of _lm_step_selfcal: the
-    reduced system over 9*(I + C) variables is never materialized (the
-    dense path's (B, B, 9, 9) Schur tensor and pair enumeration are the
-    memory hogs past a few hundred cameras). Same block structure: each
-    observation carries two camera-side entries — its pose block (9-padded
-    from 6) and its shared-intrinsics block."""
+    Returns (E, blk, w, Vinv, bp, G, T, g, g_red, Ddiag, Ur9): per-
+    observation entry Jacobians E (O,2,2,9) with entry 0 = pose block
+    (9-padded) and entry 1 = shared-intrinsics block, their block ids blk
+    (O,2), robust weights, damped point blocks, couplings G/T, gradient and
+    reduced gradient over the B=I+C blocks, the direct DIAGONAL blocks
+    Ddiag (incl. rotation priors, undamped), and the pose-row prior blocks
+    Ur9."""
     I = poses.shape[0]
     P = points.shape[0]
     C = cam_params.shape[0]
@@ -751,7 +634,6 @@ def _lm_step_selfcal_cg(prob: BAProblem, poses, points, cam_params, cam_free,
     blk = jnp.stack([prob.obs_image, I + prob.obs_cam], axis=1)  # (O, 2)
     wE = w[:, None, None, None] * E
 
-    # Gradient + direct DIAGONAL blocks (preconditioner only needs these).
     g = jnp.zeros((B, 9))
     Ddiag = jnp.zeros((B, 9, 9))
     for a in range(2):
@@ -763,7 +645,6 @@ def _lm_step_selfcal_cg(prob: BAProblem, poses, points, cam_params, cam_free,
             blk[:, a], num_segments=B,
         )
 
-    # Point blocks.
     wJp = w[:, None, None] * Jp
     V = jax.ops.segment_sum(jnp.einsum("oki,okj->oij", wJp, Jp),
                             prob.obs_point, num_segments=P,
@@ -776,14 +657,11 @@ def _lm_step_selfcal_cg(prob: BAProblem, poses, points, cam_params, cam_free,
     V = V + (1.0 - prob.point_free)[:, None, None] * jnp.eye(3)[None]
     Vinv = _inv3x3(V)
 
-    # Rotation priors (pose blocks only).
     Ur, br = _rot_prior_blocks(prob, poses)
     Ur9 = jnp.zeros((I, 9, 9)).at[:, :6, :6].set(Ur)
-    Ur9B = jnp.concatenate([Ur9, jnp.zeros((C, 9, 9))], axis=0)
-    Ddiag = Ddiag + Ur9B
+    Ddiag = Ddiag.at[jnp.arange(I)].add(Ur9)
     g = g.at[:I, :6].add(br)
 
-    # Couplings per entry: G_a = E_a^T W Jp (9, 3), T_a = G_a V^-1.
     G = jnp.einsum("oaki,okj->oaij", wE, Jp)             # (O, 2, 9, 3)
     T = jnp.einsum("oaij,ojk->oaik", G, Vinv[prob.obs_point])
 
@@ -794,15 +672,117 @@ def _lm_step_selfcal_cg(prob: BAProblem, poses, points, cam_params, cam_free,
         )
         for a in range(2)
     )
+    return E, blk, w, Vinv, bp, G, T, g, g_red, Ddiag, Ur9
+
+
+def _selfcal_backsub(prob: BAProblem, Vinv, bp, G, blk, dx):
+    P = bp.shape[0]
+    Gt_dx = sum(
+        jax.ops.segment_sum(
+            jnp.einsum("oij,oi->oj", G[:, a], dx[blk[:, a]]),
+            prob.obs_point, num_segments=P, indices_are_sorted=True,
+        )
+        for a in range(2)
+    )
+    dp = -jnp.einsum("pij,pj->pi", Vinv, bp + Gt_dx)
+    return dp * prob.point_free[:, None]
+
+
+def _lm_step_selfcal(prob: BAProblem, poses, points, cam_params, cam_free,
+                     lam, scale):
+    """One damped LM solve with SHARED per-camera intrinsics as additional
+    unknowns in the reduced camera system (reference refine_camera_params,
+    bundle_adjustment.cc:370-376: the camera_params block is variable and
+    shared by every image using that camera).
+
+    The reduced system has I pose blocks (9-padded from 6) followed by C
+    intrinsics blocks (9): dimension 9*(I + C). Every observation carries
+    TWO camera-side entries — its pose block and its camera block — and the
+    Schur pair sum runs over the 4 entry combinations per co-observation
+    pair. Returns (dposes, dpoints, dcams).
+    """
+    I = poses.shape[0]
+    C = cam_params.shape[0]
+    B = I + C
+
+    E, blk, w, Vinv, bp, G, T, g, g_red, Ddiag, Ur9 = _assemble_selfcal_blocks(
+        prob, poses, points, cam_params, cam_free, lam, scale
+    )
+    wE = w[:, None, None, None] * E
+
+    # Full direct Hessian: all entry pairs within one observation.
+    H = jnp.zeros((B * B, 9, 9))
+    for a in range(2):
+        for b in range(2):
+            contrib = jnp.einsum("oki,okj->oij", wE[:, a], E[:, b])
+            H = H + jax.ops.segment_sum(
+                contrib, blk[:, a] * B + blk[:, b], num_segments=B * B
+            )
+    H = H.reshape(B, B, 9, 9)
+    H = H.at[jnp.arange(I), jnp.arange(I)].add(Ur9)
+
+    # Schur off-diagonal over co-observation pairs x 4 entry combos.
+    S_off = jnp.zeros((B * B, 9, 9))
+    for a in range(2):
+        for b in range(2):
+            Ta = T[prob.pair_a, a]
+            Gb = G[prob.pair_b, b]
+            contrib = jnp.einsum("qij,qkj->qik", Ta, Gb)
+            contrib = jnp.where(prob.pair_mask[:, None, None], contrib, 0.0)
+            pair_blk = blk[prob.pair_a, a] * B + blk[prob.pair_b, b]
+            S_off = S_off + jax.ops.segment_sum(contrib, pair_blk,
+                                                num_segments=B * B)
+
+    S = H - S_off.reshape(B, B, 9, 9)
+    # Marquardt damping on the diagonal blocks (diag of the UNDAMPED H).
+    dH = jnp.diagonal(Ddiag, axis1=-2, axis2=-1)
+    S = S.at[jnp.arange(B), jnp.arange(B)].add(
+        (lam * (dH + 1e-6))[..., None] * jnp.eye(9)
+    )
+
+    # Free mask over the 9B flat system: poses use 6 of 9; cams use cam_free.
+    pose_free9 = jnp.concatenate(
+        [prob.pose_free, jnp.zeros((I, 3))], axis=1
+    )
+    free = jnp.concatenate([pose_free9, cam_free], axis=0).reshape(B * 9)
+    Sd = S.transpose(0, 2, 1, 3).reshape(B * 9, B * 9)
+    Sd = Sd * free[:, None] * free[None, :] + jnp.diag(1.0 - free)
+    gd = g_red.reshape(B * 9) * free  # REDUCED gradient (g alone is wrong)
+    dx = -jnp.linalg.solve(Sd, gd).reshape(B, 9)
+    dc = dx[:I, :6] * prob.pose_free
+    dk = dx[I:] * cam_free
+
+    dp = _selfcal_backsub(prob, Vinv, bp, G, blk, dx)
+    return dc, dp, dk
+
+
+def _lm_step_selfcal_cg(prob: BAProblem, poses, points, cam_params, cam_free,
+                        lam, scale, cg_iters: int, cg_tol):
+    """Matrix-free preconditioned CG version of _lm_step_selfcal: the
+    reduced system over 9*(I + C) variables is never materialized (the
+    dense path's (B, B, 9, 9) Schur tensor and pair enumeration are the
+    memory hogs past a few hundred cameras)."""
+    I = poses.shape[0]
+    P = points.shape[0]
+    C = cam_params.shape[0]
+    B = I + C
+
+    E, blk, w, Vinv, bp, G, T, g, g_red, Ddiag, Ur9 = _assemble_selfcal_blocks(
+        prob, poses, points, cam_params, cam_free, lam, scale
+    )
 
     # Marquardt damping from the undamped direct diagonal.
     dH = jnp.diagonal(Ddiag, axis1=-2, axis2=-1)
-    damp = (lam * (dH + 1e-6))
+    damp = lam * (dH + 1e-6)
 
     pose_free9 = jnp.concatenate([prob.pose_free, jnp.zeros((I, 3))], axis=1)
     free = jnp.concatenate([pose_free9, cam_free], axis=0)  # (B, 9)
 
-    # Block-Jacobi preconditioner: damped diagonal of the Schur complement.
+    # Block-Jacobi preconditioner from per-observation SELF-pairs. For pose
+    # blocks this equals the exact Schur diagonal (one observation per
+    # point per image); for shared-intrinsics blocks it omits the
+    # cross-observation pair terms — still SPD, CG just takes a few more
+    # iterations on the 9 intrinsics dims.
     D_schur = sum(
         jax.ops.segment_sum(
             jnp.einsum("oij,okj->oik", T[:, a], G[:, a]),
@@ -831,10 +811,10 @@ def _lm_step_selfcal_cg(prob: BAProblem, poses, points, cam_params, cam_free,
         t = jnp.einsum("oaij,oai->oj", G, xa)             # (O, 3)
         tp = jax.ops.segment_sum(t, prob.obs_point, num_segments=P,
                                  indices_are_sorted=True)
-        s = jnp.einsum("pij,pj->pi", Vinv, tp)
+        sv = jnp.einsum("pij,pj->pi", Vinv, tp)
         for a in range(2):
             y = y - jax.ops.segment_sum(
-                jnp.einsum("oij,oj->oi", G[:, a], s[prob.obs_point]),
+                jnp.einsum("oij,oj->oi", G[:, a], sv[prob.obs_point]),
                 blk[:, a], num_segments=B,
             )
         return y * free
@@ -867,16 +847,7 @@ def _lm_step_selfcal_cg(prob: BAProblem, poses, points, cam_params, cam_free,
     dx = x * free
     dc = dx[:I, :6] * prob.pose_free
     dk = dx[I:] * cam_free
-
-    Gt_dx = sum(
-        jax.ops.segment_sum(
-            jnp.einsum("oij,oi->oj", G[:, a], dx[blk[:, a]]),
-            prob.obs_point, num_segments=P, indices_are_sorted=True,
-        )
-        for a in range(2)
-    )
-    dp = -jnp.einsum("pij,pj->pi", Vinv, bp + Gt_dx)
-    dp = dp * prob.point_free[:, None]
+    dp = _selfcal_backsub(prob, Vinv, bp, G, blk, dx)
     return dc, dp, dk
 
 
@@ -1000,6 +971,11 @@ def _resolve_solver(prob: BAProblem, options: BAOptions) -> str:
     pair list is never enumerated-and-discarded).
     """
     if prob.pair_a.shape[0] == 0 and int(prob.obs_mask.shape[0]) > 0:
+        if options.solver == "dense":
+            raise ValueError(
+                "solver='dense' needs the co-observation pair list; this "
+                "problem was built with with_pairs=False (CG only)"
+            )
         return "cg"
     if options.solver == "auto":
         return "dense"

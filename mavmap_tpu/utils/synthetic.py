@@ -230,6 +230,24 @@ def render_features(
     return feats, gt_ids
 
 
+def mapper_ate(mapper, scene):
+    """ATE RMSE of a mapper's registered camera centers vs scene ground
+    truth (similarity-aligned) — the snippet every benchmark needs."""
+    import jax.numpy as jnp
+    from ..ops.rotation import rotmat_from_rvec
+
+    reg_ids = [iid for iid in range(mapper.store.num_images)
+               if mapper.store.image_registered[iid]]
+    if len(reg_ids) < 3:
+        return np.inf
+    idxs = [mapper.image_id_to_idx[iid] for iid in reg_ids]
+    R = np.asarray(rotmat_from_rvec(
+        jnp.asarray(mapper.store.image_rvecs[reg_ids], jnp.float32)))
+    est = -np.einsum("nij,nj->ni", R.transpose(0, 2, 1),
+                     mapper.store.image_tvecs[reg_ids])
+    return ate_rmse(est, scene.camera_centers()[idxs])
+
+
 def ate_rmse(est_centers, gt_centers, mask=None):
     """Absolute trajectory error after similarity alignment (Umeyama)."""
     import jax.numpy as jnp

@@ -21,12 +21,9 @@ def _provider(feats):
 
 
 def _ate_of(m, scene):
-    reg_ids = [iid for iid in range(m.store.num_images)
-               if m.store.image_registered[iid]]
-    idxs = [m.image_id_to_idx[iid] for iid in reg_ids]
-    R = np.asarray(rotmat_from_rvec(jnp.asarray(m.store.image_rvecs[reg_ids], jnp.float32)))
-    est = -np.einsum("nij,nj->ni", R.transpose(0, 2, 1), m.store.image_tvecs[reg_ids])
-    return ate_rmse(est, scene.camera_centers()[idxs])
+    from mavmap_tpu.utils.synthetic import mapper_ate
+
+    return mapper_ate(m, scene)
 
 
 @pytest.mark.slow

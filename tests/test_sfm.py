@@ -44,13 +44,10 @@ def _run_sequence(scene, feats, opts=None, init_opts=None, local_ba_window=8):
 
 
 def _ate(m, scene):
-    reg_ids = [iid for iid in range(m.store.num_images)
-               if m.store.image_registered[iid]]
-    idxs = [m.image_id_to_idx[iid] for iid in reg_ids]
-    R = np.asarray(rotmat_from_rvec(jnp.asarray(m.store.image_rvecs[reg_ids], jnp.float32)))
-    est_C = -np.einsum("nij,nj->ni", R.transpose(0, 2, 1), m.store.image_tvecs[reg_ids])
-    gt_C = scene.camera_centers()[idxs]
-    return ate_rmse(est_C, gt_C), len(reg_ids)
+    from mavmap_tpu.utils.synthetic import mapper_ate
+
+    nreg = int(m.store.image_registered.sum())
+    return mapper_ate(m, scene), nreg
 
 
 @pytest.mark.slow
