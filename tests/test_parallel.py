@@ -150,3 +150,24 @@ def test_multihost_helpers_single_process(rng, cpu_devices):
     assert np.allclose(np.asarray(garr), arr)
     # Sharded along the leading axis over the mesh.
     assert len(garr.addressable_shards) == mesh.devices.size
+
+
+def test_dist_ba_rotation_priors_match_single_device(rng, cpu_devices):
+    """IMU rotation priors are replicated data added once after the psum —
+    the sharded solve must match the single-device one with priors on."""
+    K, poses0, X0, obs_img, obs_pt, obs_uv, states = _ba_problem(rng, I=5, P=120)
+    rot_prior = poses0[:, :3] + 0.01
+    rw = np.full(5, 10.0, np.float32)
+    prob = build_problem(poses0, X0, K, [1], obs_img, obs_pt,
+                         np.zeros_like(obs_img), obs_uv, pose_states=states,
+                         rot_prior=rot_prior, rot_prior_weight=rw)
+    p1, x1, info = bundle_adjust(prob, BAOptions(max_num_iterations=12,
+                                                 solver="dense"))
+    stacked, new_index, per_shard = partition_problem(
+        poses0, X0, K, np.array([1], np.int32), obs_img, obs_pt,
+        np.zeros_like(obs_img), obs_uv, num_shards=4, pose_states=states,
+        rot_prior=rot_prior, rot_prior_weight=rw, with_pairs=False)
+    mesh = Mesh(np.array(cpu_devices[:4]), ("obs",))
+    p2, x2, cost, ic, it = dist_bundle_adjust(mesh, stacked, max_iters=12,
+                                              solver="cg", cg_tol=1e-6)
+    assert np.abs(np.asarray(p2) - np.asarray(p1)).max() < 1e-4
