@@ -263,3 +263,108 @@ def ate_rmse(est_centers, gt_centers, mask=None):
     )
     aligned = np.asarray(transform_points(T, jnp.asarray(est_centers, jnp.float32)))
     return float(np.sqrt(np.mean(np.sum((aligned - gt_centers) ** 2, axis=-1))))
+
+
+def render_images(scene: SyntheticScene, texture_size=2048,
+                  texture_contrast=1.0, seed=0):
+    """Render grayscale IMAGES of a textured flat ground plane (z=0) for
+    every camera — lets tests drive the on-device detector + full pipeline
+    from pixels, which feature-table fixtures cannot.
+
+    The ground texture is smoothed random noise (blob-rich, so the DoH
+    detector finds repeatable features). Each image pixel is inverse-warped
+    to the plane (exact for flat terrain) and bilinearly sampled; the
+    scene's 3-D points are additionally painted as consistent-intensity
+    Gaussian splats at their true projections, so the imaged structure is
+    NOT purely planar (a perfectly planar scene trips the homography
+    degeneracy gate, exactly as it would in the reference).
+    Returns a list of (H, W) uint8 arrays.
+    """
+    import jax.numpy as jnp
+    from ..ops.rotation import rotmat_from_rvec
+
+    rng = np.random.default_rng(seed + 3)
+    w, h = scene.image_size
+
+    # Smooth random texture: low-res noise, bicubic-ish upsample by FFT pad.
+    base = rng.normal(size=(texture_size // 8, texture_size // 8))
+    # Separable box smoothing + nearest upsample + second smoothing.
+    k = np.ones(5) / 5.0
+    for axis in (0, 1):
+        base = np.apply_along_axis(
+            lambda m: np.convolve(m, k, mode="same"), axis, base)
+    tex = np.kron(base, np.ones((8, 8)))
+    for axis in (0, 1):
+        tex = np.apply_along_axis(
+            lambda m: np.convolve(m, np.ones(9) / 9.0, mode="same"), axis, tex)
+    tex -= tex.min()
+    tex = (tex / max(tex.max(), 1e-9) * 255.0).astype(np.float32)
+    # Low contrast keeps the (planar) ground texture below the detector's
+    # response threshold relative to the off-plane point splats.
+    tex = 127.5 + (tex - 127.5) * texture_contrast
+
+    # Texture covers the flight-plan ground footprint with margin.
+    C = scene.camera_centers()
+    half = 1.2 * np.max(C[:, 2]) * max(w, h) / 2.0 / float(scene.cam_params[0][0])
+    x0, x1 = C[:, 0].min() - half, C[:, 0].max() + half
+    y0, y1 = C[:, 1].min() - half, C[:, 1].max() + half
+
+    def sample(gx, gy):
+        u = (gx - x0) / (x1 - x0) * (tex.shape[1] - 2)
+        v = (gy - y0) / (y1 - y0) * (tex.shape[0] - 2)
+        u = np.clip(u, 0, tex.shape[1] - 2)
+        v = np.clip(v, 0, tex.shape[0] - 2)
+        ui, vi = u.astype(int), v.astype(int)
+        fu, fv = u - ui, v - vi
+        return (
+            tex[vi, ui] * (1 - fu) * (1 - fv)
+            + tex[vi, ui + 1] * fu * (1 - fv)
+            + tex[vi + 1, ui] * (1 - fu) * fv
+            + tex[vi + 1, ui + 1] * fu * fv
+        )
+
+    fx, fy, cx, cy = (float(v) for v in scene.cam_params[0][:4])
+    xs, ys = np.meshgrid(np.arange(w, dtype=np.float32),
+                         np.arange(h, dtype=np.float32))
+    rays = np.stack([(xs - cx) / fx, (ys - cy) / fy, np.ones_like(xs)], -1)
+
+    # Per-point splat appearance (consistent across views): 3 offset lobes
+    # per point make each splat locally DISTINCTIVE — radially symmetric
+    # blobs all look alike and die in the matcher's ratio test.
+    n_pts = len(scene.points3D)
+    n_lobes = 3
+    splat_amp = (rng.uniform(50, 110, (n_pts, n_lobes))
+                 * rng.choice([-1, 1], (n_pts, n_lobes)))
+    splat_sig = rng.uniform(1.2, 2.6, (n_pts, n_lobes))
+    splat_off = rng.uniform(-4.0, 4.0, (n_pts, n_lobes, 2))
+    splat_off[:, 0] = 0.0  # first lobe centered (keypoint stays on-point)
+
+    images = []
+    yy, xx = np.mgrid[-7:8, -7:8]
+    for i in range(len(scene.rvecs)):
+        R = np.asarray(rotmat_from_rvec(jnp.asarray(scene.rvecs[i])))
+        Ci = -R.T @ scene.tvecs[i]
+        d = rays @ R  # world-frame ray directions (R^T applied rowwise)
+        tplane = -Ci[2] / d[..., 2]
+        gx = Ci[0] + tplane * d[..., 0]
+        gy = Ci[1] + tplane * d[..., 1]
+        img = sample(gx, gy)
+
+        # Paint off-plane 3-D points as Gaussian splats.
+        Xc = scene.points3D @ R.T + scene.tvecs[i]
+        vis = Xc[:, 2] > 1.0
+        u = fx * Xc[:, 0] / np.maximum(Xc[:, 2], 1e-6) + cx
+        v = fy * Xc[:, 1] / np.maximum(Xc[:, 2], 1e-6) + cy
+        vis &= (u >= 8) & (u < w - 8) & (v >= 8) & (v < h - 8)
+        for pid in np.where(vis)[0]:
+            ui, vi = int(round(u[pid])), int(round(v[pid]))
+            for l in range(n_lobes):
+                du = u[pid] + splat_off[pid, l, 0]
+                dv = v[pid] + splat_off[pid, l, 1]
+                g = splat_amp[pid, l] * np.exp(
+                    -((xx + ui - du) ** 2 + (yy + vi - dv) ** 2)
+                    / (2 * splat_sig[pid, l] ** 2)
+                )
+                img[vi - 7 : vi + 8, ui - 7 : ui + 8] += g
+        images.append(np.clip(img, 0, 255).astype(np.uint8))
+    return images

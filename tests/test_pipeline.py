@@ -230,3 +230,43 @@ def test_pipeline_debug_dumps(rng, tmp_path):
     # Track-length log format matches the reference's.
     log = (dbg / sorted(logs)[0]).read_text()
     assert "Point 3D-ID:" in log and "Track-length:" in log
+
+
+@pytest.mark.slow
+def test_cli_from_rendered_images(rng, tmp_path):
+    """PIXELS -> POSES: the CLI runs the on-device detector on rendered
+    ground-texture images (no precomputed features anywhere) and recovers
+    the trajectory. Covers detector + cache + matching + mapper + outputs
+    as one system."""
+    from PIL import Image
+    from mavmap_tpu.cli import main as cli_main
+    from mavmap_tpu.utils.synthetic import ate_rmse, render_images
+
+    scene = make_uav_scene(num_images=6, num_points=1500, relief=10.0,
+                           rows=1, seed=21)
+    imgs = render_images(scene, texture_contrast=0.25, seed=21)
+    data = tmp_path / "data"
+    out = tmp_path / "out"
+    data.mkdir()
+    lines = ["# imagedata"]
+    for i, im in enumerate(imgs):
+        Image.fromarray(im).save(data / f"img{i}.png")
+        cam_def = ", 1, PINHOLE, 700.0, 700.0, 400.0, 300.0" if i == 0 else ""
+        lines.append(f"img{i}, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0{cam_def}")
+    (data / "imagedata.txt").write_text("\n".join(lines) + "\n")
+
+    rc = cli_main([
+        "--input-path", str(data), "--output-path", str(out),
+        "--max-features", "1024", "--min-track-len", "2",
+        "--tri-min-angle", "1.0", "--init-tri-min-angle", "2.0",
+        "--ransac-min-inlier-threshold", "15",
+        "--surf-hessian-threshold", "1000", "--quiet",
+    ])
+    assert rc == 0
+    content = (out / "imagedataout.txt").read_text().splitlines()
+    rows = [l.split(",") for l in content if not l.startswith("#")]
+    assert len(rows) >= 5  # at least 5/6 frames registered from pixels
+    est = np.array([[float(r[8]), float(r[9]), float(r[10])] for r in rows])
+    idxs = [int(r[0].strip()[3:]) for r in rows]
+    ate = ate_rmse(est, scene.camera_centers()[idxs])
+    assert ate < 1.0  # meters at 30 m altitude, detector noise included
