@@ -50,6 +50,14 @@ def build_parser():
     p.add_argument("--surf-upright", action="store_true",
                    help="skip orientation assignment (U-SURF; the "
                         "reference's OpenCV SURF computes orientation)")
+    p.add_argument("--surf-adaptive-cell-rows", type=int, default=3,
+                   help="spatial-uniformity grid rows (reference "
+                        "surf-adaptive-cell-rows)")
+    p.add_argument("--surf-adaptive-cell-cols", type=int, default=3,
+                   help="spatial-uniformity grid cols")
+    p.add_argument("--surf-adaptive-max-per-cell", type=int, default=0,
+                   help="features per grid cell; overrides --max-features "
+                        "when > 0 (reference surf-adaptive-max-per-cell)")
     p.add_argument("--max-features", type=int, default=2048)
 
     # Matching / gates (mapper.cc:755-806).
@@ -150,11 +158,17 @@ def main(argv=None):
     cache_path = args.cache_path or os.path.join(args.output_path, "cache")
     os.makedirs(args.output_path, exist_ok=True)
 
+    if args.surf_adaptive_max_per_cell > 0:
+        args.max_features = (args.surf_adaptive_max_per_cell
+                             * args.surf_adaptive_cell_rows
+                             * args.surf_adaptive_cell_cols)
     detector_params = {
         "hessian_threshold": args.surf_hessian_threshold,
         "num_octaves": args.surf_num_octaves,
         "num_octave_layers": args.surf_num_octave_layers,
         "upright": args.surf_upright,
+        "grid_size": (args.surf_adaptive_cell_rows,
+                      args.surf_adaptive_cell_cols),
         "max_features": args.max_features,
     }
 

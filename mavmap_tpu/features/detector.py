@@ -92,12 +92,16 @@ def detect_and_describe(
     descriptors (K, 128), mask (K,)).
 
     K = max_features. Spatial-uniformity: the response map is divided into
-    a grid_size x grid_size grid and each cell receives an equal share of
-    the keypoint budget (counterpart of the reference's adaptive per-cell
-    thresholds, feature.h:24-31).
+    a rows x cols grid (grid_size: int for square, or (rows, cols)) and
+    each cell receives an equal share of the keypoint budget (counterpart
+    of the reference's adaptive per-cell thresholds, feature.h:24-31,
+    surf-adaptive-cell-rows/cols CLI flags).
     """
     H, W = img.shape
     img = img.astype(jnp.float32) / 255.0
+    grid_rows, grid_cols = (
+        (grid_size, grid_size) if isinstance(grid_size, int) else grid_size
+    )
 
     sigmas = []
     for o in range(num_octaves):
@@ -134,15 +138,15 @@ def detect_and_describe(
     best_scale = jnp.argmax(score, axis=0)
 
     # Per-cell top-k.
-    per_cell = max_features // (grid_size * grid_size)
-    cell_h = H // grid_size
-    cell_w = W // grid_size
+    per_cell = max_features // (grid_rows * grid_cols)
+    cell_h = H // grid_rows
+    cell_w = W // grid_cols
     kps, scs, scores_out = [], [], []
-    for cy in range(grid_size):
-        for cx in range(grid_size):
+    for cy in range(grid_rows):
+        for cx in range(grid_cols):
             y0, x0 = cy * cell_h, cx * cell_w
-            h = cell_h if cy < grid_size - 1 else H - y0
-            w = cell_w if cx < grid_size - 1 else W - x0
+            h = cell_h if cy < grid_rows - 1 else H - y0
+            w = cell_w if cx < grid_cols - 1 else W - x0
             cell = jax.lax.dynamic_slice(score_flat, (y0, x0), (cell_h, cell_w))
             cell_scale = jax.lax.dynamic_slice(best_scale, (y0, x0), (cell_h, cell_w))
             flat = cell.reshape(-1)
@@ -307,7 +311,8 @@ def _describe(img, keypoints, sigmas, cells=4, samples_per_cell=5,
 
 
 def detect_image(img_array, hessian_threshold=100.0, num_octaves=4,
-                 num_octave_layers=3, max_features=2048, upright=False):
+                 num_octave_layers=3, max_features=2048, upright=False,
+                 grid_size=3):
     """Numpy grayscale/RGB image -> (keypoints (N, 2), descriptors (N, 128))."""
     img = np.asarray(img_array)
     if img.ndim == 3:
@@ -319,6 +324,7 @@ def detect_image(img_array, hessian_threshold=100.0, num_octaves=4,
         num_octave_layers=num_octave_layers,
         max_features=max_features,
         upright=upright,
+        grid_size=grid_size if isinstance(grid_size, int) else tuple(grid_size),
     )
     m = np.asarray(mask)
     return np.asarray(kp)[m], np.asarray(desc)[m]

@@ -117,7 +117,7 @@ def test_cli_end_to_end(rng, tmp_path):
     import hashlib, json
     params = {"hessian_threshold": 1000.0, "num_octaves": 4,
               "num_octave_layers": 3, "upright": False,
-              "max_features": 1024}
+              "grid_size": (3, 3), "max_features": 1024}
     fp = hashlib.sha256(json.dumps(params, sort_keys=True).encode()).hexdigest()[:16]
     for i, (kp, de) in enumerate(feats):
         np.savez(cache / f"img{i}.npz", keypoints=kp, descriptors=de,
