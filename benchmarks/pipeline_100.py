@@ -1,4 +1,4 @@
-"""Scratch: 100-image serpentine survey on TPU end-to-end."""
+"""Benchmark: 100-image serpentine survey end-to-end on one TPU chip."""
 import time
 import numpy as np
 import jax.numpy as jnp
@@ -32,19 +32,3 @@ npts = int(m.store.point3D_valid.sum())
 print(f"registered {m.num_proc_images}/100 in {el:.1f}s "
       f"({m.num_proc_images/el:.2f} fps), mappers={len(res.mappers)}, "
       f"points={npts}, ATE={ate:.4f} m")
-
-# Phase breakdown on a second (warm-cache) run.
-import cProfile, pstats, io
-pr = cProfile.Profile()
-pr.enable()
-t0 = time.time()
-res = run_pipeline(scene.image_cameras, scene.cam_models, scene.cam_params,
-                   prov, opts, voc_tree=tree)
-el = time.time() - t0
-pr.disable()
-print(f"warm: {res.main_mapper.num_proc_images}/100 in {el:.1f}s "
-      f"({res.main_mapper.num_proc_images/el:.2f} fps)")
-s = io.StringIO()
-ps = pstats.Stats(pr, stream=s).sort_stats("cumulative")
-ps.print_stats(25)
-print("\n".join(s.getvalue().splitlines()[:45]))
