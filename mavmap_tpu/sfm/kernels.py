@@ -344,3 +344,37 @@ def register_view_batch(
         keys, kpp, desc_p, mask_p, np_, xyz, has_tri, stable,
         prev_rvec, prev_tvec,
     )
+
+
+@partial(jax.jit, static_argnames=("p3p_trials",))
+def register_view_pairs(
+    keys,
+    kpp, desc_p, mask_p, np_,
+    kpc, desc_c, mask_c, nc_,
+    xyz, has_tri, stable,
+    prev_rvec, prev_tvec,
+    kparams, model_code,
+    ratio, max_distance, norm_threshold,
+    p3p_trials: int = 500,
+):
+    """register_view vmapped over FULL pairs: BOTH sides carry a leading
+    batch dim (unlike register_view_batch, which shares one current image).
+    Used by the back-fill pass to try many (skipped frame, neighbor) pairs
+    in one device call — the reference's process_remaining_images runs a
+    full sequential process() per pair (mapper.cc:221-299)."""
+
+    def one(key, kpp1, dp1, mp1, np1, kpc1, dc1, mc1, nc1, xyz1, ht1, st1,
+            rv1, tv1, kp_, code, nt):
+        return register_view(
+            key, kpp1, dp1, mp1, np1,
+            kpc1, dc1, mc1, nc1,
+            xyz1, ht1, st1, rv1, tv1,
+            kp_, code, ratio, max_distance, nt,
+            p3p_trials=p3p_trials,
+        )
+
+    return jax.vmap(one)(
+        keys, kpp, desc_p, mask_p, np_, kpc, desc_c, mask_c, nc_,
+        xyz, has_tri, stable, prev_rvec, prev_tvec,
+        kparams, model_code, norm_threshold,
+    )

@@ -609,6 +609,68 @@ class SequentialMapper:
             out.append((r, states[k][0], states[k][1], tri_nt))
         return out
 
+    def batch_register_pairs(self, pairs, options):
+        """Register many (curr_idx, prev_idx) pairs — distinct current
+        images — in ONE device call (register_view_pairs); commits run
+        sequentially with the usual gates. prev of every pair must be
+        processed. Returns the per-pair success list.
+
+        Used by the back-fill pass: the reference pays a full sequential
+        process() per (skipped frame, neighbor) pair (mapper.cc:221-299).
+        """
+        from .kernels import register_view_pairs
+
+        if not pairs:
+            return []
+        B = 1
+        while B < len(pairs):
+            B *= 2
+        padded = list(pairs) + [pairs[0]] * (B - len(pairs))
+
+        states = [self._prev_track_state(p, options) for _, p in padded]
+        pf = [self._device_features(p) for _, p in padded]
+        cf = [self._device_features(c) for c, _ in padded]
+        nts = [self._norm_threshold(options.ransac_max_reproj_error, c)
+               for c, _ in padded]
+        tri_nts = [self._norm_threshold(options.tri_max_reproj_error, c)
+                   for c, _ in padded]
+        cis = [self.image_cameras[c] for c, _ in padded]
+
+        keys = jax.random.split(self._next_key(), B)
+        rows, scalars = register_view_pairs(
+            keys,
+            jnp.stack([f[0] for f in pf]), jnp.stack([f[1] for f in pf]),
+            jnp.stack([f[2] for f in pf]), jnp.stack([f[3] for f in pf]),
+            jnp.stack([f[0] for f in cf]), jnp.stack([f[1] for f in cf]),
+            jnp.stack([f[2] for f in cf]), jnp.stack([f[3] for f in cf]),
+            jnp.asarray(np.stack([st[3] for st in states])),
+            jnp.asarray(np.stack([st[1] for st in states])),
+            jnp.asarray(np.stack([st[2] for st in states])),
+            jnp.asarray(np.stack([st[4] for st in states]), jnp.float32),
+            jnp.asarray(np.stack([st[5] for st in states]), jnp.float32),
+            jnp.asarray(self.cam_params[cis]),
+            jnp.asarray(self.cam_models[cis]),
+            jnp.float32(options.match_max_ratio),
+            jnp.float32(options.match_max_distance
+                        if options.match_max_distance > 0 else 1e9),
+            jnp.asarray(nts, jnp.float32),
+            p3p_trials=options.p3p_ransac_trials,
+        )
+        rows, scalars = jax.device_get((rows, scalars))
+        out = []
+        for k, (curr, prev) in enumerate(pairs):
+            if self.is_pair_processed(curr, prev):
+                out.append(True)
+                continue
+            r = unpack_register(rows[k], scalars[k])
+            ok = self._register_gates(curr, prev, r, options)
+            if ok:
+                ok = self._register_commit(curr, prev, r, options,
+                                           states[k][0], states[k][1],
+                                           tri_nts[k])
+            out.append(bool(ok))
+        return out
+
     # ---------------------------------------------------------------- merge
 
     def merge(self, other, num_similar_images=15, num_skip_images=5,

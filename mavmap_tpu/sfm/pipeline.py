@@ -141,30 +141,37 @@ def _global_ba(mapper, opts: PipelineOptions, rot_priors=None,
 
 def process_remaining_images(mapper, start_idx, end_idx, opts: PipelineOptions):
     """Back-fill skipped frames against their nearest processed neighbors
-    (reference mapper.cc:221-299)."""
+    (reference mapper.cc:221-299). All (skipped frame, neighbor) pairs of a
+    sweep register in ONE batched device call; sweeps repeat while frames
+    keep landing (a newly filled frame becomes a neighbor for the next
+    sweep, like the reference's incremental 'processed' update)."""
     seq_opts = _mapper_options(opts)
     num = 0
-    processed = sorted(mapper.image_idx_to_id.keys())
-    if not processed:
-        return 0
-    for idx in range(start_idx, end_idx + 1):
-        if mapper.is_image_processed(idx):
-            continue
-        # Nearest processed neighbors below/above.
-        below = [p for p in processed if p < idx]
-        above = [p for p in processed if p > idx]
-        candidates = []
-        if below:
-            candidates.append(below[-1])
-        if above:
-            candidates.append(above[0])
-        for cand in candidates:
-            if mapper.process(idx, cand, seq_opts):
-                num += 1
-                processed = sorted(mapper.image_idx_to_id.keys())
-                if opts.verbose:
-                    print(f"Processed remaining image #{idx} against #{cand}")
-                break
+    for _ in range(4):  # sweeps; each fills what the previous unlocked
+        processed = sorted(mapper.image_idx_to_id.keys())
+        if not processed:
+            return num
+        pairs = []
+        for idx in range(start_idx, end_idx + 1):
+            if mapper.is_image_processed(idx):
+                continue
+            below = [p for p in processed if p < idx]
+            above = [p for p in processed if p > idx]
+            if below:
+                pairs.append((idx, below[-1]))
+            if above:
+                pairs.append((idx, above[0]))
+        if not pairs:
+            break
+        got = mapper.batch_register_pairs(pairs, seq_opts)
+        for (idx, cand), ok in zip(pairs, got):
+            if ok and opts.verbose:
+                print(f"Processed remaining image #{idx} against #{cand}")
+        # A frame may appear in two pairs (below+above); count frames once.
+        filled = {idx for (idx, _), ok in zip(pairs, got) if ok}
+        num += len(filled)
+        if not filled:
+            break
     return num
 
 

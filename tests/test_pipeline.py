@@ -270,3 +270,28 @@ def test_cli_from_rendered_images(rng, tmp_path):
     idxs = [int(r[0].strip()[3:]) for r in rows]
     ate = ate_rmse(est, scene.camera_centers()[idxs])
     assert ate < 1.0  # meters at 30 m altitude, detector noise included
+
+
+def test_batched_backfill(rng):
+    """process_remaining_images registers skipped frames via the batched
+    pair kernel (one device call per sweep)."""
+    from mavmap_tpu.sfm.pipeline import process_remaining_images
+
+    scene = make_uav_scene(num_images=8, num_points=2000, relief=10.0,
+                           rows=1, seed=12)
+    feats, _ = render_features(scene, pixel_noise=0.3, clutter=10, seed=12)
+    prov = _provider(feats)
+    from mavmap_tpu.sfm import SequentialMapper, SequentialMapperOptions
+
+    o = SequentialMapperOptions(tri_min_angle=1.0, min_track_len=2,
+                                essential_ransac_trials=256,
+                                p3p_ransac_trials=256)
+    m = SequentialMapper(scene.image_cameras, scene.cam_models,
+                         scene.cam_params, prov)
+    # Register only even frames sequentially; back-fill the odd ones.
+    assert m.process_initial(0, 2, o)
+    assert m.process(4, 2, o) and m.process(6, 4, o)
+    opts = PipelineOptions(verbose=False, tri_min_angle=1.0, min_track_len=2)
+    n = process_remaining_images(m, 0, 7, opts)
+    assert n >= 4  # 1, 3, 5, 7 filled
+    assert m.num_proc_images >= 7
