@@ -622,6 +622,15 @@ class SequentialMapper:
 
         if not pairs:
             return []
+        # Chunk: B vmapped register kernels hold B full match matrices in
+        # HBM; 32 is comfortably inside one v5e chip.
+        MAX_B = 32
+        if len(pairs) > MAX_B:
+            out = []
+            for k in range(0, len(pairs), MAX_B):
+                out.extend(self.batch_register_pairs(pairs[k:k + MAX_B],
+                                                     options))
+            return out
         B = 1
         while B < len(pairs):
             B *= 2
