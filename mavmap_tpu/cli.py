@@ -293,8 +293,26 @@ def main(argv=None):
             m, os.path.join(args.output_path, f"points3D{suffix}.ply"))
         outputs.write_camera_models_vrml(
             m, os.path.join(args.output_path, f"cameras{suffix}.wrl"))
+        # Point-cloud VRML variants matching reference write_mapper
+        # (mapper.cc:97-108): strict (tri_max/5) clouds at track len 2, 3,
+        # and min(3*min_track_len, nproc/2), plus an "all" cloud at the
+        # full reprojection threshold.
+        strict = args.tri_max_reproj_error / 5.0
         outputs.write_point_cloud_vrml(
-            m, os.path.join(args.output_path, f"points3D{suffix}.wrl"))
+            m, os.path.join(args.output_path,
+                            f"points3D-min-track-len-2{suffix}.wrl"),
+            min_track_len=2, max_error=strict)
+        outputs.write_point_cloud_vrml(
+            m, os.path.join(args.output_path,
+                            f"points3D-min-track-len-3{suffix}.wrl"),
+            min_track_len=3, max_error=strict)
+        mtl_main = min(3 * args.min_track_len, max(m.num_proc_images // 2, 2))
+        outputs.write_point_cloud_vrml(
+            m, os.path.join(args.output_path, f"points3D{suffix}.wrl"),
+            min_track_len=mtl_main, max_error=strict)
+        outputs.write_point_cloud_vrml(
+            m, os.path.join(args.output_path, f"points3D-all{suffix}.wrl"),
+            min_track_len=0, max_error=args.tri_max_reproj_error)
         outputs.write_camera_connections_vrml(
             m, os.path.join(args.output_path, f"connections{suffix}.wrl"))
 

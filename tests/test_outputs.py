@@ -121,3 +121,42 @@ def test_write_tracks_debug_images(mapped, tmp_path):
     names = os.listdir(tmp_path / "tracks")
     assert all(nm.startswith("LEN") and "-P3D#" in nm and "-IMG#" in nm
                for nm in names)
+
+
+def test_cli_point_cloud_vrml_variants(rng, tmp_path):
+    """CLI writes the reference's four point-cloud VRML variants
+    (write_mapper, mapper.cc:97-108)."""
+    from mavmap_tpu.cli import main as cli_main
+    from mavmap_tpu.utils.synthetic import make_uav_scene, render_features
+    import hashlib, json
+
+    scene = make_uav_scene(num_images=6, num_points=1500, relief=10.0,
+                           rows=1, seed=6)
+    feats, _ = render_features(scene, pixel_noise=0.3, clutter=10, seed=6)
+    data, out, cache = tmp_path / "d", tmp_path / "o", tmp_path / "c"
+    data.mkdir(), cache.mkdir()
+    lines = ["# imagedata"]
+    for i in range(6):
+        cam_def = ", 1, PINHOLE, 700.0, 700.0, 400.0, 300.0" if i == 0 else ""
+        lines.append(f"img{i}, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0{cam_def}")
+    (data / "imagedata.txt").write_text("\n".join(lines) + "\n")
+    params = {"hessian_threshold": 1000.0, "num_octaves": 4,
+              "num_octave_layers": 3, "upright": False,
+              "grid_size": (3, 3), "max_features": 1024}
+    fp = hashlib.sha256(json.dumps(params, sort_keys=True).encode()).hexdigest()[:16]
+    for i, (kp, de) in enumerate(feats):
+        np.savez(cache / f"img{i}.npz", keypoints=kp, descriptors=de,
+                 fingerprint=fp)
+    rc = cli_main(["--input-path", str(data), "--output-path", str(out),
+                   "--cache-path", str(cache), "--max-features", "1024",
+                   "--min-track-len", "2", "--tri-min-angle", "1.0",
+                   "--init-tri-min-angle", "4.0", "--quiet"])
+    assert rc == 0
+    for name in ("points3D.wrl", "points3D-all.wrl",
+                 "points3D-min-track-len-2.wrl",
+                 "points3D-min-track-len-3.wrl"):
+        assert (out / name).exists(), name
+    # "all" is a superset of the strict variants.
+    n_all = (out / "points3D-all.wrl").read_text().count("\n")
+    n_3 = (out / "points3D-min-track-len-3.wrl").read_text().count("\n")
+    assert n_all >= n_3
