@@ -142,11 +142,12 @@ def detect_and_describe(
     cell_h = H // grid_rows
     cell_w = W // grid_cols
     kps, scs, scores_out = [], [], []
+    # Fixed-size cells: the H%grid_rows / W%grid_cols remainder strip is
+    # not scanned (it lies inside the 8-px suppressed border for realistic
+    # grids).
     for cy in range(grid_rows):
         for cx in range(grid_cols):
             y0, x0 = cy * cell_h, cx * cell_w
-            h = cell_h if cy < grid_rows - 1 else H - y0
-            w = cell_w if cx < grid_cols - 1 else W - x0
             cell = jax.lax.dynamic_slice(score_flat, (y0, x0), (cell_h, cell_w))
             cell_scale = jax.lax.dynamic_slice(best_scale, (y0, x0), (cell_h, cell_w))
             flat = cell.reshape(-1)

@@ -569,6 +569,7 @@ class SequentialMapper:
         which the per-candidate add_correspondence merge handles)."""
         from .kernels import register_view_batch
 
+        self.flush_ba()  # registration anchors on post-BA poses/points
         # Bucket the batch to powers-of-two-ish sizes for jit cache reuse.
         B = 1
         while B < len(cand_idxs):
@@ -622,6 +623,10 @@ class SequentialMapper:
 
         if not pairs:
             return []
+        # Pending async local-BA results must land first: registration
+        # anchors on store poses/points (process() flushes on every pull;
+        # this path must uphold the same invariant).
+        self.flush_ba()
         # Chunk: B vmapped register kernels hold B full match matrices in
         # HBM; 32 is comfortably inside one v5e chip.
         MAX_B = 32
@@ -634,16 +639,25 @@ class SequentialMapper:
         B = 1
         while B < len(pairs):
             B *= 2
-        padded = list(pairs) + [pairs[0]] * (B - len(pairs))
+        # Host work only for the REAL pairs; pad the stacked arrays by
+        # repeating row 0 (discarded at commit).
+        n_real = len(pairs)
+        padded = list(pairs) + [pairs[0]] * (B - n_real)
 
-        states = [self._prev_track_state(p, options) for _, p in padded]
-        pf = [self._device_features(p) for _, p in padded]
-        cf = [self._device_features(c) for c, _ in padded]
+        states = [self._prev_track_state(p, options) for _, p in pairs]
+        pf = [self._device_features(p) for _, p in pairs]
+        cf = [self._device_features(c) for c, _ in pairs]
         nts = [self._norm_threshold(options.ransac_max_reproj_error, c)
-               for c, _ in padded]
+               for c, _ in pairs]
         tri_nts = [self._norm_threshold(options.tri_max_reproj_error, c)
-                   for c, _ in padded]
-        cis = [self.image_cameras[c] for c, _ in padded]
+                   for c, _ in pairs]
+        cis = [self.image_cameras[c] for c, _ in pairs]
+        for _ in range(B - n_real):
+            states.append(states[0])
+            pf.append(pf[0])
+            cf.append(cf[0])
+            nts.append(nts[0])
+            cis.append(cis[0])
 
         keys = jax.random.split(self._next_key(), B)
         rows, scalars = register_view_pairs(
@@ -668,6 +682,13 @@ class SequentialMapper:
         rows, scalars = jax.device_get((rows, scalars))
         out = []
         for k, (curr, prev) in enumerate(pairs):
+            # Every pair was built while `curr` was unregistered; if an
+            # earlier pair (or chunk) registered it, committing this one
+            # would inject 3-D points triangulated with a pose that never
+            # got committed — match the reference's break-on-first-success.
+            if self.is_image_processed(curr):
+                out.append(True)
+                continue
             if self.is_pair_processed(curr, prev):
                 out.append(True)
                 continue

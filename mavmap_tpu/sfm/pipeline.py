@@ -147,7 +147,8 @@ def process_remaining_images(mapper, start_idx, end_idx, opts: PipelineOptions):
     sweep, like the reference's incremental 'processed' update)."""
     seq_opts = _mapper_options(opts)
     num = 0
-    for _ in range(4):  # sweeps; each fills what the previous unlocked
+    max_sweeps = max(end_idx - start_idx + 1, 1)  # chained gaps: one frame
+    for _ in range(max_sweeps):                   # per sweep worst-case
         processed = sorted(mapper.image_idx_to_id.keys())
         if not processed:
             return num

@@ -34,3 +34,33 @@ def rng():
 @pytest.fixture
 def cpu_devices():
     return jax.devices("cpu")
+
+
+def write_cached_cli_dataset(tmp_path, feats, n_images,
+                             cam_def=", 1, PINHOLE, 700.0, 700.0, 400.0, 300.0"):
+    """Shared CLI fixture: imagedata.txt + pre-populated feature cache.
+
+    Uses FeatureCache itself to write entries so the fingerprint always
+    matches the CLI's detector_params (hand-rolled hashes silently fall
+    back to extract-on-miss whenever a new detector param is added).
+    """
+    import numpy as np
+    from mavmap_tpu.features import FeatureCache
+
+    data = tmp_path / "data"
+    cache = tmp_path / "cache"
+    data.mkdir(exist_ok=True), cache.mkdir(exist_ok=True)
+    lines = ["# imagedata"]
+    for i in range(n_images):
+        suffix = cam_def if i == 0 else ""
+        lines.append(f"img{i}, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0{suffix}")
+    (data / "imagedata.txt").write_text("\n".join(lines) + "\n")
+
+    params = {"hessian_threshold": 1000.0, "num_octaves": 4,
+              "num_octave_layers": 3, "upright": False,
+              "grid_size": (3, 3), "max_features": 1024}
+    fc = FeatureCache(str(cache), params,
+                      detector=lambda i: feats[i], capacity=1024)
+    for i in range(n_images):
+        fc.query(i, f"img{i}")
+    return data, cache
