@@ -47,28 +47,31 @@ def bench(prob, solver, iters=10, reps=3, cg_iters=100):
     return ms, float(r[2]), float(r[3])
 
 
-I, P, OPI = 200, 50000, 1000
-poses, X, K, oi, op, uv, states = make(I, P, OPI)
-poses0 = poses.copy()
-poses0[2:] += np.random.default_rng(1).normal(size=poses0[2:].shape) * 0.005
-X0 = X + np.random.default_rng(2).normal(size=X.shape).astype(np.float32) * 0.05
+if __name__ == "__main__":
+    I, P, OPI = 200, 50000, 1000
+    poses, X, K, oi, op, uv, states = make(I, P, OPI)
+    poses0 = poses.copy()
+    poses0[2:] += np.random.default_rng(1).normal(size=poses0[2:].shape) * 0.005
+    X0 = X + np.random.default_rng(2).normal(size=X.shape).astype(np.float32) * 0.05
 
-t0 = time.time()
-prob_pairs = build_problem(poses0, X0, K, [1], oi, op, np.zeros_like(oi), uv,
-                           pose_states=states)
-t_pairs = time.time() - t0
-t0 = time.time()
-prob_nopairs = build_problem(poses0, X0, K, [1], oi, op, np.zeros_like(oi), uv,
-                             pose_states=states, with_pairs=False)
-t_nopairs = time.time() - t0
-print(f"build: pairs {t_pairs:.2f}s (Q={prob_pairs.pair_a.shape[0]}), "
-      f"no-pairs {t_nopairs:.2f}s", file=sys.stderr)
+    t0 = time.time()
+    prob_pairs = build_problem(poses0, X0, K, [1], oi, op, np.zeros_like(oi),
+                               uv, pose_states=states)
+    t_pairs = time.time() - t0
+    t0 = time.time()
+    prob_nopairs = build_problem(poses0, X0, K, [1], oi, op,
+                                 np.zeros_like(oi), uv, pose_states=states,
+                                 with_pairs=False)
+    t_nopairs = time.time() - t0
+    print(f"build: pairs {t_pairs:.2f}s (Q={prob_pairs.pair_a.shape[0]}), "
+          f"no-pairs {t_nopairs:.2f}s", file=sys.stderr)
 
-for solver, prob, cgi in [("dense", prob_pairs, 0), ("cg", prob_nopairs, 100),
-                          ("cg", prob_nopairs, 30)]:
-    try:
-        ms, fc, ic = bench(prob, solver, cg_iters=max(cgi, 1))
-        print(f"{solver}(cg_iters={cgi}): {ms:.1f} ms/LM-iter  "
-              f"cost {ic:.1f} -> {fc:.1f}")
-    except Exception as e:
-        print(f"{solver}: FAILED {type(e).__name__}: {e}")
+    for solver, prob, cgi in [("dense", prob_pairs, 0),
+                              ("cg", prob_nopairs, 100),
+                              ("cg", prob_nopairs, 30)]:
+        try:
+            ms, fc, ic = bench(prob, solver, cg_iters=max(cgi, 1))
+            print(f"{solver}(cg_iters={cgi}): {ms:.1f} ms/LM-iter  "
+                  f"cost {ic:.1f} -> {fc:.1f}")
+        except Exception as e:
+            print(f"{solver}: FAILED {type(e).__name__}: {e}")

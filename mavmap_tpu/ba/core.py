@@ -62,6 +62,10 @@ class BAOptions:
     lambda_init: float = 1e-4
     lambda_up: float = 10.0
     lambda_down: float = 0.5
+    # Segment-reduction backend for the normal-equation assembly / CG
+    # matvec: "auto" (Pallas kernels on TPU, XLA elsewhere), "xla",
+    # "pallas", or "pallas_interpret" (CPU tests).
+    backend: str = "auto"
     # Reduced-camera-system solver: "dense" (exact Cholesky over the
     # materialized (6I,6I) Schur matrix — needs the co-observation pair
     # list), "cg" (matrix-free preconditioned CG — no pair list, scales to
@@ -73,14 +77,23 @@ class BAOptions:
 
 
 class BAProblem(NamedTuple):
-    """Static-shape device arrays describing one BA problem instance."""
+    """Static-shape device arrays describing one BA problem instance.
+
+    Point bookkeeping runs in a DENSE id space: `obs_point_dense` renames
+    the points that actually carry observations to gapless sorted ids
+    0..Pd-1 (`point_rows` maps dense row -> row in `points`). All per-point
+    solver state (V blocks, gradients, updates) lives in dense space — the
+    LM loops gather `points[point_rows]` once on entry and scatter the
+    result back once on exit. Gaplessness is what lets the sorted Pallas
+    segment kernel bound every observation tile to a TILE-wide id band.
+    """
 
     poses: jnp.ndarray         # (I, 6) rvec+tvec
     points: jnp.ndarray        # (P, 3)
     cam_params: jnp.ndarray    # (C, 9)
     cam_models: jnp.ndarray    # (C,) int32 model codes
     obs_image: jnp.ndarray     # (O,) int32
-    obs_point: jnp.ndarray     # (O,) int32
+    obs_point: jnp.ndarray     # (O,) int32 into points (full id space)
     obs_cam: jnp.ndarray       # (O,) int32
     obs_uv: jnp.ndarray        # (O, 2) pixel observations
     obs_mask: jnp.ndarray      # (O,) bool
@@ -93,6 +106,10 @@ class BAProblem(NamedTuple):
     rot_prior_weight: jnp.ndarray  # (I,) f32, 0 disables
     img_order: jnp.ndarray     # (O,) int32 permutation sorting obs by image
     obs_image_sorted: jnp.ndarray  # (O,) int32 = obs_image[img_order]
+    obs_point_dense: jnp.ndarray   # (O,) int32 sorted gapless dense point ids
+    point_rows: jnp.ndarray        # (Pd,) int32 dense row -> full point row
+                                   #   (pads hold P: dropped on scatter-back)
+    point_free_dense: jnp.ndarray  # (Pd,) f32
 
 
 def build_problem(
@@ -141,26 +158,37 @@ def build_problem(
         obs_cam = obs_cam[order0]
         obs_uv = obs_uv[order0]
 
+    # Dense point ids: rank the points that actually carry observations in
+    # sorted order (gapless 0..Pd0-1). All per-point solver state runs in
+    # this space; `rows0` maps dense row -> full point row.
+    order = np.arange(O)
+    sorted_pts = obs_point
+    if O:
+        new_group = np.empty(O, bool)
+        new_group[0] = True
+        new_group[1:] = sorted_pts[1:] != sorted_pts[:-1]
+        group_id = (np.cumsum(new_group) - 1).astype(np.int32)  # (O,) dense
+        starts = np.where(new_group)[0]                # (Pd0,)
+        counts = np.diff(np.append(starts, O))         # (Pd0,) track sizes k
+        rows0 = sorted_pts[starts].astype(np.int32)    # dense -> full row
+    else:
+        group_id = np.zeros(0, np.int32)
+        starts = np.zeros(0, np.int64)
+        counts = np.zeros(0, np.int64)
+        rows0 = np.zeros(0, np.int32)
+    Pd0 = len(rows0)
+
     # Track pair list: for every point, ALL ordered pairs (a, b) of its
     # observations including a == b — the Schur product subtracts
     # G_a V^-1 G_b^T for every such pair. Fully vectorized (this runs once
     # per BA call; a Python per-track loop would dominate frame time).
     # Observations are already point-sorted above -> identity permutation.
-    order = np.arange(O)
-    sorted_pts = obs_point
-    if not with_pairs:
+    if not with_pairs or not O:
         # CG solver: the Schur matvec is matrix-free, no pair list needed
         # (the O(sum k^2) enumeration is the memory/compute hog at scale).
         pair_a = np.zeros(0, np.int64)
         pair_b = np.zeros(0, np.int64)
-    elif O:
-        # Group boundaries in the sorted-by-point order.
-        new_group = np.empty(O, bool)
-        new_group[0] = True
-        new_group[1:] = sorted_pts[1:] != sorted_pts[:-1]
-        group_id = np.cumsum(new_group) - 1            # (O,) per-obs group
-        starts = np.where(new_group)[0]                # (G,)
-        counts = np.diff(np.append(starts, O))         # (G,) track sizes k
+    else:
         # pair_a: each obs repeated k times (its group's size).
         k_per_obs = counts[group_id]
         pair_a = np.repeat(order, k_per_obs)
@@ -170,9 +198,6 @@ def build_problem(
         offsets = np.concatenate([[0], np.cumsum(pair_sizes)[:-1]])
         j_within = np.arange(pair_sizes.sum()) - offsets[gid_per_pair]
         pair_b = order[starts[gid_per_pair] + j_within % counts[gid_per_pair]]
-    else:
-        pair_a = np.zeros(0, np.int64)
-        pair_b = np.zeros(0, np.int64)
     Q = len(pair_a)
 
     def round_up(n, q):
@@ -227,6 +252,15 @@ def build_problem(
     if point_fixed is not None:
         point_free[:P0][np.asarray(point_fixed, bool)] = 0.0
 
+    # Dense point-space padding: pad rows point AT P (out of range) so the
+    # final scatter-back drops them; their gathered value clamps to the
+    # last point row and never changes (free=0, no observations).
+    Pd = round_up(Pd0, 1024) if bucket else max(Pd0, 1)
+    point_rows = np.full(Pd, P, np.int32)
+    point_rows[:Pd0] = rows0
+    point_free_dense = np.zeros(Pd, np.float32)
+    point_free_dense[:Pd0] = point_free[rows0]
+
     if rot_prior is None:
         rot_prior = np.zeros((I, 3), np.float32)
     else:
@@ -261,6 +295,13 @@ def build_problem(
         rot_prior_weight=jnp.asarray(rot_prior_weight, jnp.float32),
         img_order=jnp.asarray(img_order_p),
         obs_image_sorted=jnp.asarray(obs_image_sorted_p),
+        # Padding keeps the LAST dense id (sorted invariant; masked rows
+        # contribute zeros wherever they land).
+        obs_point_dense=jnp.asarray(
+            pad(group_id, obs_capacity, fill=int(group_id[-1]) if O else 0)
+        ),
+        point_rows=jnp.asarray(point_rows),
+        point_free_dense=jnp.asarray(point_free_dense),
     )
 
 
@@ -275,15 +316,27 @@ def _obs_residual(pose, point, kparams, model_code, uv):
     return uvp - uv
 
 
-def _all_residuals(prob: BAProblem, poses, points):
-    """(O, 2) residuals for all observations."""
+def _all_residuals(prob: BAProblem, poses, points_d):
+    """(O, 2) residuals for all observations. points_d is DENSE (Pd, 3)."""
 
     def one(img, pt, cm, uv):
         return _obs_residual(
-            poses[img], points[pt], prob.cam_params[cm], prob.cam_models[cm], uv
+            poses[img], points_d[pt], prob.cam_params[cm],
+            prob.cam_models[cm], uv
         )
 
-    return jax.vmap(one)(prob.obs_image, prob.obs_point, prob.obs_cam, prob.obs_uv)
+    return jax.vmap(one)(prob.obs_image, prob.obs_point_dense, prob.obs_cam,
+                         prob.obs_uv)
+
+
+def _gather_dense_points(prob: BAProblem, points):
+    """(P, 3) full points -> (Pd, 3) dense rows (pads clamp to the last)."""
+    return points[jnp.minimum(prob.point_rows, points.shape[0] - 1)]
+
+
+def _scatter_dense_points(prob: BAProblem, points, points_d):
+    """Write dense rows back into the full array (pad rows dropped)."""
+    return points.at[prob.point_rows].set(points_d, mode="drop")
 
 
 def _rot_residuals(prob: BAProblem, poses):
@@ -303,9 +356,9 @@ def _cauchy_weight(res_sq_norm, scale):
     return 1.0 / (1.0 + res_sq_norm / (scale * scale))
 
 
-def total_cost(prob: BAProblem, poses, points, scale):
-    """Robust total cost (0.5 sum rho(||r||^2)), matching Ceres' objective."""
-    r = _all_residuals(prob, poses, points)
+def _total_cost_d(prob: BAProblem, poses, points_d, scale):
+    """Robust total cost over DENSE points."""
+    r = _all_residuals(prob, poses, points_d)
     s = jnp.sum(r * r, axis=-1)
     c2 = scale * scale
     rho = c2 * jnp.log1p(s / c2)
@@ -315,10 +368,18 @@ def total_cost(prob: BAProblem, poses, points, scale):
     return cost
 
 
+def total_cost(prob: BAProblem, poses, points, scale):
+    """Robust total cost (0.5 sum rho(||r||^2)), matching Ceres' objective.
+
+    Takes the FULL (P, 3) points array (public API)."""
+    return _total_cost_d(prob, poses, _gather_dense_points(prob, points),
+                         scale)
+
+
 # ------------------------------------------------------------ normal eqs
 
 
-def _obs_jacobians(prob: BAProblem, poses, points):
+def _obs_jacobians(prob: BAProblem, poses, points_d):
     """Batched residuals + Jacobians: r (O,2), Jc (O,2,6), Jp (O,2,3)."""
 
     def one(img, pt, cm, uv):
@@ -327,11 +388,12 @@ def _obs_jacobians(prob: BAProblem, poses, points):
                 pose, point, prob.cam_params[cm], prob.cam_models[cm], uv
             )
 
-        r = f(poses[img], points[pt])
-        Jc, Jp = jax.jacfwd(f, argnums=(0, 1))(poses[img], points[pt])
+        r = f(poses[img], points_d[pt])
+        Jc, Jp = jax.jacfwd(f, argnums=(0, 1))(poses[img], points_d[pt])
         return r, Jc, Jp
 
-    return jax.vmap(one)(prob.obs_image, prob.obs_point, prob.obs_cam, prob.obs_uv)
+    return jax.vmap(one)(prob.obs_image, prob.obs_point_dense, prob.obs_cam,
+                         prob.obs_uv)
 
 
 def _rot_prior_blocks(prob: BAProblem, poses):
@@ -361,6 +423,53 @@ def _seg_by_image(prob: BAProblem, vals, I):
     )
 
 
+# The full one-hot kernel keeps its (S, K) accumulator and a (TILE, S)
+# one-hot tile in VMEM — past ~2k segments fall back to XLA.
+_PALLAS_MAX_FULL_SEGMENTS = 2048
+
+
+def _seg_img(prob: BAProblem, vals, I, backend):
+    """Image-keyed reduction (any trailing shape), backend-dispatched.
+
+    The Pallas path is a one-hot MXU matmul (ops/pallas/ba_accum.py) that
+    needs no sort/gather; the XLA path is the sorted segment sum."""
+    if backend.startswith("pallas") and I <= _PALLAS_MAX_FULL_SEGMENTS:
+        from ..ops.pallas.ba_accum import seg_accum_full
+
+        flat = vals.reshape(vals.shape[0], -1)
+        out = seg_accum_full(flat, prob.obs_image, I,
+                             interpret=backend == "pallas_interpret")
+        return out.reshape((I,) + vals.shape[1:])
+    return _seg_by_image(prob, vals, I)
+
+
+def _seg_ids(ids, vals, S, backend):
+    """Reduction keyed by arbitrary (unsorted) ids into S segments."""
+    if backend.startswith("pallas") and S <= _PALLAS_MAX_FULL_SEGMENTS:
+        from ..ops.pallas.ba_accum import seg_accum_full
+
+        flat = vals.reshape(vals.shape[0], -1)
+        out = seg_accum_full(flat, ids, S,
+                             interpret=backend == "pallas_interpret")
+        return out.reshape((S,) + vals.shape[1:])
+    return jax.ops.segment_sum(vals, ids, num_segments=S)
+
+
+def _seg_pt(prob: BAProblem, vals, backend):
+    """Dense-point-keyed reduction (sorted gapless ids)."""
+    Pd = prob.point_rows.shape[0]
+    if backend.startswith("pallas"):
+        from ..ops.pallas.ba_accum import seg_accum_sorted
+
+        flat = vals.reshape(vals.shape[0], -1)
+        out = seg_accum_sorted(flat, prob.obs_point_dense, Pd,
+                               interpret=backend == "pallas_interpret")
+        return out.reshape((Pd,) + vals.shape[1:])
+    return jax.ops.segment_sum(
+        vals, prob.obs_point_dense, num_segments=Pd, indices_are_sorted=True,
+    )
+
+
 def _inv3x3(M):
     """Closed-form batched 3x3 inverse (adjugate / det) — elementwise ops
     only; far faster than batched LU for the (P, 3, 3) point blocks."""
@@ -386,50 +495,47 @@ def _inv3x3(M):
     return adj * inv_det[..., None, None]
 
 
-def _assemble_blocks(prob: BAProblem, poses, points, lam, scale, psum_axis=None):
+def _assemble_blocks(prob: BAProblem, poses, points_d, lam, scale,
+                     psum_axis=None, backend="xla"):
     """Shared normal-equation block assembly for both Schur solvers.
 
+    points_d is DENSE (Pd, 3); all per-point outputs are dense too.
     Returns (U, Vinv, bp, G, T, g_red):
-      U     (I,6,6) damped per-image blocks incl. rotation priors,
-      Vinv  (P,3,3) inverse damped point blocks,
-      bp    (P,3)   point gradients,
-      G     (O,6,3) per-observation camera-point coupling Jc^T W Jp,
-      T     (O,6,3) G V^-1,
-      g_red (I,6)   reduced gradient bc - sum_o T_o bp[pt_o].
+      U     (I,6,6)  damped per-image blocks incl. rotation priors,
+      Vinv  (Pd,3,3) inverse damped point blocks,
+      bp    (Pd,3)   point gradients,
+      G     (O,6,3)  per-observation camera-point coupling Jc^T W Jp,
+      T     (O,6,3)  G V^-1,
+      g_red (I,6)    reduced gradient bc - sum_o T_o bp[pt_o].
 
     With `psum_axis` (inside shard_map, point-disjoint observation
     sharding), U/g_red are psum-reduced over the mesh axis; V/bp/G/T stay
     shard-local because every observation of a point lives on one shard.
+    `backend` picks the segment-reduction path ("xla" | "pallas" |
+    "pallas_interpret").
     """
     I = poses.shape[0]
-    P = points.shape[0]
 
-    r, Jc, Jp = _obs_jacobians(prob, poses, points)
+    r, Jc, Jp = _obs_jacobians(prob, poses, points_d)
     w = _cauchy_weight(jnp.sum(r * r, axis=-1), scale)
     w = jnp.where(prob.obs_mask, w, 0.0)
 
     # Apply gauge masks directly to the Jacobians (fixed params contribute
     # nothing and receive no update).
     Jc = Jc * prob.pose_free[prob.obs_image][:, None, :]
-    Jp = Jp * prob.point_free[prob.obs_point][:, None, None]
+    Jp = Jp * prob.point_free_dense[prob.obs_point_dense][:, None, None]
 
     wJc = w[:, None, None] * Jc
     # Per-image 6x6 blocks + gradient.
-    U = _seg_by_image(prob, jnp.einsum("oki,okj->oij", wJc, Jc), I)
-    bc = _seg_by_image(prob, jnp.einsum("oki,ok->oi", wJc, r), I)
+    U = _seg_img(prob, jnp.einsum("oki,okj->oij", wJc, Jc), I, backend)
+    bc = _seg_img(prob, jnp.einsum("oki,ok->oi", wJc, r), I, backend)
     if psum_axis is not None:
         U = jax.lax.psum(U, psum_axis)
         bc = jax.lax.psum(bc, psum_axis)
-    # Per-point 3x3 blocks + gradient.
+    # Per-point 3x3 blocks + gradient (dense point space).
     wJp = w[:, None, None] * Jp
-    V = jax.ops.segment_sum(
-        jnp.einsum("oki,okj->oij", wJp, Jp), prob.obs_point, num_segments=P,
-        indices_are_sorted=True,
-    )
-    bp = jax.ops.segment_sum(
-        jnp.einsum("oki,ok->oi", wJp, r), prob.obs_point, num_segments=P,
-        indices_are_sorted=True,
-    )
+    V = _seg_pt(prob, jnp.einsum("oki,okj->oij", wJp, Jp), backend)
+    bp = _seg_pt(prob, jnp.einsum("oki,ok->oi", wJp, r), backend)
 
     # Rotation-prior residuals add to the pose diagonal (rvec part only).
     # Replicated data in the sharded case: added once, after the psum.
@@ -448,17 +554,18 @@ def _assemble_blocks(prob: BAProblem, poses, points, lam, scale, psum_axis=None)
     V = damp(V)
     # Fixed points: make their block identity so V^-1 is benign; update is
     # masked anyway.
-    V = V + (1.0 - prob.point_free)[:, None, None] * jnp.eye(3)[None]
+    V = V + (1.0 - prob.point_free_dense)[:, None, None] * jnp.eye(3)[None]
 
-    Vinv = _inv3x3(V)  # (P, 3, 3) batched, closed form
+    Vinv = _inv3x3(V)  # (Pd, 3, 3) batched, closed form
 
     # Per-observation camera-point coupling G_o = Jc^T W Jp (6, 3).
     G = jnp.einsum("oki,okj->oij", wJc, Jp)  # (O, 6, 3)
-    T = jnp.einsum("oij,ojk->oik", G, Vinv[prob.obs_point])  # (O, 6, 3)
+    T = jnp.einsum("oij,ojk->oik", G, Vinv[prob.obs_point_dense])  # (O, 6, 3)
 
     # Reduced gradient: g = bc - sum_o T_o bp[pt_o] scattered to img_o.
-    g_local = _seg_by_image(
-        prob, jnp.einsum("oij,oj->oi", T, bp[prob.obs_point]), I
+    g_local = _seg_img(
+        prob, jnp.einsum("oij,oj->oi", T, bp[prob.obs_point_dense]), I,
+        backend,
     )
     if psum_axis is not None:
         g_local = jax.lax.psum(g_local, psum_axis)
@@ -466,21 +573,20 @@ def _assemble_blocks(prob: BAProblem, poses, points, lam, scale, psum_axis=None)
     return U, Vinv, bp, G, T, g_red
 
 
-def _backsub_points(prob: BAProblem, Vinv, bp, G, dc):
-    """dp_p = -V^-1 (bp_p + sum_{o in p} G_o^T dc[img_o])."""
-    P = bp.shape[0]
-    Gt_dc = jax.ops.segment_sum(
-        jnp.einsum("oij,oi->oj", G, dc[prob.obs_image]), prob.obs_point,
-        num_segments=P, indices_are_sorted=True,
+def _backsub_points(prob: BAProblem, Vinv, bp, G, dc, backend="xla"):
+    """dp_p = -V^-1 (bp_p + sum_{o in p} G_o^T dc[img_o]) — DENSE (Pd, 3)."""
+    Gt_dc = _seg_pt(
+        prob, jnp.einsum("oij,oi->oj", G, dc[prob.obs_image]), backend
     )
     dp = -jnp.einsum("pij,pj->pi", Vinv, bp + Gt_dc)
-    return dp * prob.point_free[:, None]
+    return dp * prob.point_free_dense[:, None]
 
 
-def _lm_step(prob: BAProblem, poses, points, lam, scale):
-    """One damped LM solve (exact dense Schur): returns (dposes, dpoints)."""
+def _lm_step(prob: BAProblem, poses, points_d, lam, scale, backend="xla"):
+    """One damped LM solve (exact dense Schur): returns (dposes, dpoints_d)."""
     I = poses.shape[0]
-    U, Vinv, bp, G, T, g_red = _assemble_blocks(prob, poses, points, lam, scale)
+    U, Vinv, bp, G, T, g_red = _assemble_blocks(prob, poses, points_d, lam,
+                                                scale, backend=backend)
 
     # Schur: S = U - sum over co-observation pairs T_a G_b^T scattered to
     # (img_a, img_b) blocks.
@@ -502,12 +608,12 @@ def _lm_step(prob: BAProblem, poses, points, lam, scale):
     dc = -jnp.linalg.solve(Sd, gd).reshape(I, 6)
     dc = dc * prob.pose_free
 
-    dp = _backsub_points(prob, Vinv, bp, G, dc)
+    dp = _backsub_points(prob, Vinv, bp, G, dc, backend=backend)
     return dc, dp
 
 
-def _lm_step_cg(prob: BAProblem, poses, points, lam, scale,
-                cg_iters: int, cg_tol, psum_axis=None):
+def _lm_step_cg(prob: BAProblem, poses, points_d, lam, scale,
+                cg_iters: int, cg_tol, psum_axis=None, backend="xla"):
     """One damped LM solve via MATRIX-FREE preconditioned CG on the reduced
     camera system — the TPU-native analog of Ceres' ITERATIVE_SCHUR +
     SCHUR_JACOBI (the reference uses SPARSE_SCHUR,
@@ -526,14 +632,13 @@ def _lm_step_cg(prob: BAProblem, poses, points, lam, scale,
     """
     I = poses.shape[0]
     U, Vinv, bp, G, T, g_red = _assemble_blocks(
-        prob, poses, points, lam, scale, psum_axis=psum_axis
+        prob, poses, points_d, lam, scale, psum_axis=psum_axis,
+        backend=backend,
     )
     free = prob.pose_free  # (I, 6)
 
     # Block-Jacobi preconditioner: exact diagonal blocks of S.
-    D_local = jax.ops.segment_sum(
-        jnp.einsum("oij,okj->oik", T, G), prob.obs_image, num_segments=I
-    )
+    D_local = _seg_img(prob, jnp.einsum("oij,okj->oik", T, G), I, backend)
     if psum_axis is not None:
         D_local = jax.lax.psum(D_local, psum_axis)
     D = U - D_local
@@ -545,12 +650,11 @@ def _lm_step_cg(prob: BAProblem, poses, points, lam, scale,
     def matvec(x):  # x (I, 6), free-masked
         y = jnp.einsum("iab,ib->ia", U, x)
         t = jnp.einsum("oij,oi->oj", G, x[prob.obs_image])  # (O, 3)
-        tp = jax.ops.segment_sum(t, prob.obs_point, num_segments=bp.shape[0],
-                                 indices_are_sorted=True)
+        tp = _seg_pt(prob, t, backend)
         s = jnp.einsum("pij,pj->pi", Vinv, tp)
-        y2 = jax.ops.segment_sum(
-            jnp.einsum("oij,oj->oi", G, s[prob.obs_point]),
-            prob.obs_image, num_segments=I,
+        y2 = _seg_img(
+            prob, jnp.einsum("oij,oj->oi", G, s[prob.obs_point_dense]), I,
+            backend,
         )
         if psum_axis is not None:
             y2 = jax.lax.psum(y2, psum_axis)
@@ -585,11 +689,11 @@ def _lm_step_cg(prob: BAProblem, poses, points, lam, scale,
 
     x, _, _, _, _ = jax.lax.while_loop(cg_cond, cg_body, (x, r, p, rz, 0))
     dc = x * free
-    dp = _backsub_points(prob, Vinv, bp, G, dc)
+    dp = _backsub_points(prob, Vinv, bp, G, dc, backend=backend)
     return dc, dp
 
 
-def _obs_jacobians_full(prob: BAProblem, poses, points, cam_params):
+def _obs_jacobians_full(prob: BAProblem, poses, points_d, cam_params):
     """Batched residuals + Jacobians incl. intrinsics: r (O,2), Jc (O,2,6),
     Jp (O,2,3), Jk (O,2,9) — for refine_camera_params."""
 
@@ -597,17 +701,18 @@ def _obs_jacobians_full(prob: BAProblem, poses, points, cam_params):
         def f(pose, point, kp):
             return _obs_residual(pose, point, kp, prob.cam_models[cm], uv)
 
-        r = f(poses[img], points[pt], cam_params[cm])
+        r = f(poses[img], points_d[pt], cam_params[cm])
         Jc, Jp, Jk = jax.jacfwd(f, argnums=(0, 1, 2))(
-            poses[img], points[pt], cam_params[cm]
+            poses[img], points_d[pt], cam_params[cm]
         )
         return r, Jc, Jp, Jk
 
-    return jax.vmap(one)(prob.obs_image, prob.obs_point, prob.obs_cam, prob.obs_uv)
+    return jax.vmap(one)(prob.obs_image, prob.obs_point_dense, prob.obs_cam,
+                         prob.obs_uv)
 
 
-def _assemble_selfcal_blocks(prob: BAProblem, poses, points, cam_params,
-                             cam_free, lam, scale):
+def _assemble_selfcal_blocks(prob: BAProblem, poses, points_d, cam_params,
+                             cam_free, lam, scale, backend="xla"):
     """Shared assembly for both self-calibration solvers.
 
     Returns (E, blk, w, Vinv, bp, G, T, g, g_red, Ddiag, Ur9): per-
@@ -616,17 +721,16 @@ def _assemble_selfcal_blocks(prob: BAProblem, poses, points, cam_params,
     (O,2), robust weights, damped point blocks, couplings G/T, gradient and
     reduced gradient over the B=I+C blocks, the direct DIAGONAL blocks
     Ddiag (incl. rotation priors, undamped), and the pose-row prior blocks
-    Ur9."""
+    Ur9. points_d / all per-point outputs are DENSE."""
     I = poses.shape[0]
-    P = points.shape[0]
     C = cam_params.shape[0]
     B = I + C
 
-    r, Jc, Jp, Jk = _obs_jacobians_full(prob, poses, points, cam_params)
+    r, Jc, Jp, Jk = _obs_jacobians_full(prob, poses, points_d, cam_params)
     w = _cauchy_weight(jnp.sum(r * r, axis=-1), scale)
     w = jnp.where(prob.obs_mask, w, 0.0)
     Jc = Jc * prob.pose_free[prob.obs_image][:, None, :]
-    Jp = Jp * prob.point_free[prob.obs_point][:, None, None]
+    Jp = Jp * prob.point_free_dense[prob.obs_point_dense][:, None, None]
     Jk = Jk * cam_free[prob.obs_cam][:, None, :]
 
     Jc9 = jnp.concatenate([Jc, jnp.zeros_like(Jc[..., :3])], axis=-1)
@@ -637,24 +741,20 @@ def _assemble_selfcal_blocks(prob: BAProblem, poses, points, cam_params,
     g = jnp.zeros((B, 9))
     Ddiag = jnp.zeros((B, 9, 9))
     for a in range(2):
-        g = g + jax.ops.segment_sum(
-            jnp.einsum("oki,ok->oi", wE[:, a], r), blk[:, a], num_segments=B
+        g = g + _seg_ids(
+            blk[:, a], jnp.einsum("oki,ok->oi", wE[:, a], r), B, backend
         )
-        Ddiag = Ddiag + jax.ops.segment_sum(
-            jnp.einsum("oki,okj->oij", wE[:, a], E[:, a]),
-            blk[:, a], num_segments=B,
+        Ddiag = Ddiag + _seg_ids(
+            blk[:, a], jnp.einsum("oki,okj->oij", wE[:, a], E[:, a]), B,
+            backend,
         )
 
     wJp = w[:, None, None] * Jp
-    V = jax.ops.segment_sum(jnp.einsum("oki,okj->oij", wJp, Jp),
-                            prob.obs_point, num_segments=P,
-                            indices_are_sorted=True)
-    bp = jax.ops.segment_sum(jnp.einsum("oki,ok->oi", wJp, r),
-                             prob.obs_point, num_segments=P,
-                             indices_are_sorted=True)
+    V = _seg_pt(prob, jnp.einsum("oki,okj->oij", wJp, Jp), backend)
+    bp = _seg_pt(prob, jnp.einsum("oki,ok->oi", wJp, r), backend)
     dV = jnp.diagonal(V, axis1=-2, axis2=-1)
     V = V + (lam * (dV + 1e-6))[..., None] * jnp.eye(3)
-    V = V + (1.0 - prob.point_free)[:, None, None] * jnp.eye(3)[None]
+    V = V + (1.0 - prob.point_free_dense)[:, None, None] * jnp.eye(3)[None]
     Vinv = _inv3x3(V)
 
     Ur, br = _rot_prior_blocks(prob, poses)
@@ -663,33 +763,32 @@ def _assemble_selfcal_blocks(prob: BAProblem, poses, points, cam_params,
     g = g.at[:I, :6].add(br)
 
     G = jnp.einsum("oaki,okj->oaij", wE, Jp)             # (O, 2, 9, 3)
-    T = jnp.einsum("oaij,ojk->oaik", G, Vinv[prob.obs_point])
+    T = jnp.einsum("oaij,ojk->oaik", G, Vinv[prob.obs_point_dense])
 
     g_red = g - sum(
-        jax.ops.segment_sum(
-            jnp.einsum("oij,oj->oi", T[:, a], bp[prob.obs_point]),
-            blk[:, a], num_segments=B,
+        _seg_ids(
+            blk[:, a],
+            jnp.einsum("oij,oj->oi", T[:, a], bp[prob.obs_point_dense]),
+            B, backend,
         )
         for a in range(2)
     )
     return E, blk, w, Vinv, bp, G, T, g, g_red, Ddiag, Ur9
 
 
-def _selfcal_backsub(prob: BAProblem, Vinv, bp, G, blk, dx):
-    P = bp.shape[0]
+def _selfcal_backsub(prob: BAProblem, Vinv, bp, G, blk, dx, backend="xla"):
     Gt_dx = sum(
-        jax.ops.segment_sum(
-            jnp.einsum("oij,oi->oj", G[:, a], dx[blk[:, a]]),
-            prob.obs_point, num_segments=P, indices_are_sorted=True,
+        _seg_pt(
+            prob, jnp.einsum("oij,oi->oj", G[:, a], dx[blk[:, a]]), backend
         )
         for a in range(2)
     )
     dp = -jnp.einsum("pij,pj->pi", Vinv, bp + Gt_dx)
-    return dp * prob.point_free[:, None]
+    return dp * prob.point_free_dense[:, None]
 
 
-def _lm_step_selfcal(prob: BAProblem, poses, points, cam_params, cam_free,
-                     lam, scale):
+def _lm_step_selfcal(prob: BAProblem, poses, points_d, cam_params, cam_free,
+                     lam, scale, backend="xla"):
     """One damped LM solve with SHARED per-camera intrinsics as additional
     unknowns in the reduced camera system (reference refine_camera_params,
     bundle_adjustment.cc:370-376: the camera_params block is variable and
@@ -706,7 +805,8 @@ def _lm_step_selfcal(prob: BAProblem, poses, points, cam_params, cam_free,
     B = I + C
 
     E, blk, w, Vinv, bp, G, T, g, g_red, Ddiag, Ur9 = _assemble_selfcal_blocks(
-        prob, poses, points, cam_params, cam_free, lam, scale
+        prob, poses, points_d, cam_params, cam_free, lam, scale,
+        backend=backend,
     )
     wE = w[:, None, None, None] * E
 
@@ -715,8 +815,8 @@ def _lm_step_selfcal(prob: BAProblem, poses, points, cam_params, cam_free,
     for a in range(2):
         for b in range(2):
             contrib = jnp.einsum("oki,okj->oij", wE[:, a], E[:, b])
-            H = H + jax.ops.segment_sum(
-                contrib, blk[:, a] * B + blk[:, b], num_segments=B * B
+            H = H + _seg_ids(
+                blk[:, a] * B + blk[:, b], contrib, B * B, backend
             )
     H = H.reshape(B, B, 9, 9)
     H = H.at[jnp.arange(I), jnp.arange(I)].add(Ur9)
@@ -752,23 +852,24 @@ def _lm_step_selfcal(prob: BAProblem, poses, points, cam_params, cam_free,
     dc = dx[:I, :6] * prob.pose_free
     dk = dx[I:] * cam_free
 
-    dp = _selfcal_backsub(prob, Vinv, bp, G, blk, dx)
+    dp = _selfcal_backsub(prob, Vinv, bp, G, blk, dx, backend=backend)
     return dc, dp, dk
 
 
-def _lm_step_selfcal_cg(prob: BAProblem, poses, points, cam_params, cam_free,
-                        lam, scale, cg_iters: int, cg_tol):
+def _lm_step_selfcal_cg(prob: BAProblem, poses, points_d, cam_params,
+                        cam_free, lam, scale, cg_iters: int, cg_tol,
+                        backend="xla"):
     """Matrix-free preconditioned CG version of _lm_step_selfcal: the
     reduced system over 9*(I + C) variables is never materialized (the
     dense path's (B, B, 9, 9) Schur tensor and pair enumeration are the
     memory hogs past a few hundred cameras)."""
     I = poses.shape[0]
-    P = points.shape[0]
     C = cam_params.shape[0]
     B = I + C
 
     E, blk, w, Vinv, bp, G, T, g, g_red, Ddiag, Ur9 = _assemble_selfcal_blocks(
-        prob, poses, points, cam_params, cam_free, lam, scale
+        prob, poses, points_d, cam_params, cam_free, lam, scale,
+        backend=backend,
     )
 
     # Marquardt damping from the undamped direct diagonal.
@@ -784,9 +885,9 @@ def _lm_step_selfcal_cg(prob: BAProblem, poses, points, cam_params, cam_free,
     # cross-observation pair terms — still SPD, CG just takes a few more
     # iterations on the 9 intrinsics dims.
     D_schur = sum(
-        jax.ops.segment_sum(
-            jnp.einsum("oij,okj->oik", T[:, a], G[:, a]),
-            blk[:, a], num_segments=B,
+        _seg_ids(
+            blk[:, a], jnp.einsum("oij,okj->oik", T[:, a], G[:, a]), B,
+            backend,
         )
         for a in range(2)
     )
@@ -800,22 +901,21 @@ def _lm_step_selfcal_cg(prob: BAProblem, poses, points, cam_params, cam_free,
         u = w[:, None] * jnp.einsum("oakj,oaj->ok", E, xa)  # (O, 2)
         y = jnp.zeros((B, 9))
         for a in range(2):
-            y = y + jax.ops.segment_sum(
-                jnp.einsum("oki,ok->oi", E[:, a], u), blk[:, a],
-                num_segments=B,
+            y = y + _seg_ids(
+                blk[:, a], jnp.einsum("oki,ok->oi", E[:, a], u), B, backend
             )
         # Rotation prior + damping on the diagonal.
         y = y.at[:I].add(jnp.einsum("iab,ib->ia", Ur9, x[:I]))
         y = y + damp * x
         # Schur term.
         t = jnp.einsum("oaij,oai->oj", G, xa)             # (O, 3)
-        tp = jax.ops.segment_sum(t, prob.obs_point, num_segments=P,
-                                 indices_are_sorted=True)
+        tp = _seg_pt(prob, t, backend)
         sv = jnp.einsum("pij,pj->pi", Vinv, tp)
         for a in range(2):
-            y = y - jax.ops.segment_sum(
-                jnp.einsum("oij,oj->oi", G[:, a], sv[prob.obs_point]),
-                blk[:, a], num_segments=B,
+            y = y - _seg_ids(
+                blk[:, a],
+                jnp.einsum("oij,oj->oi", G[:, a], sv[prob.obs_point_dense]),
+                B, backend,
             )
         return y * free
 
@@ -847,16 +947,18 @@ def _lm_step_selfcal_cg(prob: BAProblem, poses, points, cam_params, cam_free,
     dx = x * free
     dc = dx[:I, :6] * prob.pose_free
     dk = dx[I:] * cam_free
-    dp = _selfcal_backsub(prob, Vinv, bp, G, blk, dx)
+    dp = _selfcal_backsub(prob, Vinv, bp, G, blk, dx, backend=backend)
     return dc, dp, dk
 
 
-def total_cost_selfcal(prob: BAProblem, poses, points, cam_params, scale):
+def _total_cost_selfcal_d(prob: BAProblem, poses, points_d, cam_params,
+                          scale):
     def one(img, pt, cm, uv):
-        return _obs_residual(poses[img], points[pt], cam_params[cm],
+        return _obs_residual(poses[img], points_d[pt], cam_params[cm],
                              prob.cam_models[cm], uv)
 
-    r = jax.vmap(one)(prob.obs_image, prob.obs_point, prob.obs_cam, prob.obs_uv)
+    r = jax.vmap(one)(prob.obs_image, prob.obs_point_dense, prob.obs_cam,
+                      prob.obs_uv)
     s = jnp.sum(r * r, axis=-1)
     c2 = scale * scale
     rho = c2 * jnp.log1p(s / c2)
@@ -865,80 +967,100 @@ def total_cost_selfcal(prob: BAProblem, poses, points, cam_params, scale):
     return cost + 0.5 * jnp.sum(rr * rr)
 
 
-@partial(jax.jit, static_argnames=("max_iters", "solver", "cg_max_iters"))
+def total_cost_selfcal(prob: BAProblem, poses, points, cam_params, scale):
+    """Robust total cost with explicit intrinsics (FULL points array)."""
+    return _total_cost_selfcal_d(
+        prob, poses, _gather_dense_points(prob, points), cam_params, scale
+    )
+
+
+@partial(jax.jit, static_argnames=("max_iters", "solver", "cg_max_iters",
+                                   "backend"))
 def _lm_loop_selfcal(prob: BAProblem, cam_free, scale, lambda_init, lambda_up,
                      lambda_down, function_tolerance, max_iters: int,
                      solver: str = "dense", cg_max_iters: int = 100,
-                     cg_tol: float = 1e-3):
+                     cg_tol: float = 1e-3, backend: str = "xla"):
     def cond(state):
         _, _, _, _, it, done, _ = state
         return (it < max_iters) & (~done)
 
     def body(state):
-        poses, points, cams, lam, it, done, cost = state
+        poses, points_d, cams, lam, it, done, cost = state
         if solver == "cg":
-            dc, dp, dk = _lm_step_selfcal_cg(prob, poses, points, cams,
+            dc, dp, dk = _lm_step_selfcal_cg(prob, poses, points_d, cams,
                                              cam_free, lam, scale,
-                                             cg_max_iters, cg_tol)
+                                             cg_max_iters, cg_tol,
+                                             backend=backend)
         else:
-            dc, dp, dk = _lm_step_selfcal(prob, poses, points, cams, cam_free,
-                                          lam, scale)
+            dc, dp, dk = _lm_step_selfcal(prob, poses, points_d, cams,
+                                          cam_free, lam, scale,
+                                          backend=backend)
         new_poses = poses + dc
-        new_points = points + dp
+        new_points = points_d + dp
         new_cams = cams + dk
-        new_cost = total_cost_selfcal(prob, new_poses, new_points, new_cams, scale)
+        new_cost = _total_cost_selfcal_d(prob, new_poses, new_points,
+                                         new_cams, scale)
         accept = new_cost < cost
         poses = jnp.where(accept, new_poses, poses)
-        points = jnp.where(accept, new_points, points)
+        points_d = jnp.where(accept, new_points, points_d)
         cams = jnp.where(accept, new_cams, cams)
         lam = jnp.clip(jnp.where(accept, lam * lambda_down, lam * lambda_up),
                        1e-10, 1e8)
         rel = (cost - new_cost) / jnp.maximum(cost, 1e-20)
         done = accept & (rel < function_tolerance)
         cost = jnp.where(accept, new_cost, cost)
-        return (poses, points, cams, lam, it + 1, done, cost)
+        return (poses, points_d, cams, lam, it + 1, done, cost)
 
-    init_cost = total_cost_selfcal(prob, prob.poses, prob.points,
-                                   prob.cam_params, scale)
-    state = (prob.poses, prob.points, prob.cam_params,
+    points_d0 = _gather_dense_points(prob, prob.points)
+    init_cost = _total_cost_selfcal_d(prob, prob.poses, points_d0,
+                                      prob.cam_params, scale)
+    state = (prob.poses, points_d0, prob.cam_params,
              jnp.float32(lambda_init), 0, False, init_cost)
-    poses, points, cams, lam, it, done, cost = jax.lax.while_loop(
+    poses, points_d, cams, lam, it, done, cost = jax.lax.while_loop(
         cond, body, state
     )
+    points = _scatter_dense_points(prob, prob.points, points_d)
     return poses, points, cams, cost, init_cost, it
 
 
-@partial(jax.jit, static_argnames=("max_iters", "solver", "cg_max_iters"))
+@partial(jax.jit, static_argnames=("max_iters", "solver", "cg_max_iters",
+                                   "backend"))
 def _lm_loop(prob: BAProblem, scale, lambda_init, lambda_up, lambda_down,
              function_tolerance, max_iters: int, solver: str = "dense",
-             cg_max_iters: int = 100, cg_tol: float = 1e-3):
+             cg_max_iters: int = 100, cg_tol: float = 1e-3,
+             backend: str = "xla"):
     def cond(state):
         _, _, _, it, done, _ = state
         return (it < max_iters) & (~done)
 
     def body(state):
-        poses, points, lam, it, done, cost = state
+        poses, points_d, lam, it, done, cost = state
         if solver == "cg":
-            dc, dp = _lm_step_cg(prob, poses, points, lam, scale,
-                                 cg_max_iters, cg_tol)
+            dc, dp = _lm_step_cg(prob, poses, points_d, lam, scale,
+                                 cg_max_iters, cg_tol, backend=backend)
         else:
-            dc, dp = _lm_step(prob, poses, points, lam, scale)
+            dc, dp = _lm_step(prob, poses, points_d, lam, scale,
+                              backend=backend)
         new_poses = poses + dc
-        new_points = points + dp
-        new_cost = total_cost(prob, new_poses, new_points, scale)
+        new_points = points_d + dp
+        new_cost = _total_cost_d(prob, new_poses, new_points, scale)
         accept = new_cost < cost
         poses = jnp.where(accept, new_poses, poses)
-        points = jnp.where(accept, new_points, points)
+        points_d = jnp.where(accept, new_points, points_d)
         lam = jnp.where(accept, lam * lambda_down, lam * lambda_up)
         lam = jnp.clip(lam, 1e-10, 1e8)
         rel_impr = (cost - new_cost) / jnp.maximum(cost, 1e-20)
         done = accept & (rel_impr < function_tolerance)
         cost = jnp.where(accept, new_cost, cost)
-        return (poses, points, lam, it + 1, done, cost)
+        return (poses, points_d, lam, it + 1, done, cost)
 
-    init_cost = total_cost(prob, prob.poses, prob.points, scale)
-    state = (prob.poses, prob.points, jnp.float32(lambda_init), 0, False, init_cost)
-    poses, points, lam, it, done, cost = jax.lax.while_loop(cond, body, state)
+    points_d0 = _gather_dense_points(prob, prob.points)
+    init_cost = _total_cost_d(prob, prob.poses, points_d0, scale)
+    state = (prob.poses, points_d0, jnp.float32(lambda_init), 0, False,
+             init_cost)
+    poses, points_d, lam, it, done, cost = jax.lax.while_loop(cond, body,
+                                                              state)
+    points = _scatter_dense_points(prob, prob.points, points_d)
     return poses, points, cost, init_cost, it
 
 
@@ -950,7 +1072,7 @@ def point_mean_errors(prob: BAProblem, poses, points):
     """
     poses = jnp.asarray(poses)
     points = jnp.asarray(points)
-    r = _all_residuals(prob, poses, points)
+    r = _all_residuals(prob, poses, _gather_dense_points(prob, points))
     nrm = jnp.linalg.norm(r, axis=-1)
     nrm = jnp.where(prob.obs_mask, nrm, 0.0)
     P = points.shape[0]
@@ -959,6 +1081,13 @@ def point_mean_errors(prob: BAProblem, poses, points):
         prob.obs_mask.astype(jnp.float32), prob.obs_point, num_segments=P
     )
     return jnp.where(n > 0, s / jnp.maximum(n, 1.0), -1.0)
+
+
+def _resolve_backend(options: BAOptions) -> str:
+    """Resolve options.backend: "auto" means Pallas kernels on TPU."""
+    if options.backend != "auto":
+        return options.backend
+    return "pallas" if jax.default_backend() == "tpu" else "xla"
 
 
 def _resolve_solver(prob: BAProblem, options: BAOptions) -> str:
@@ -1002,6 +1131,7 @@ def bundle_adjust_async(prob: BAProblem, options: BAOptions = BAOptions(),
         solver=_resolve_solver(prob, options),
         cg_max_iters=options.cg_max_iters,
         cg_tol=options.cg_tol,
+        backend=_resolve_backend(options),
     )
 
     def finalize(prefetched=None):
@@ -1054,6 +1184,7 @@ def bundle_adjust(prob: BAProblem, options: BAOptions = BAOptions(),
                 solver=_resolve_solver(prob, options),
                 cg_max_iters=options.cg_max_iters,
                 cg_tol=options.cg_tol,
+                backend=_resolve_backend(options),
             )
         )
         prob = prob._replace(cam_params=jnp.asarray(cams))
@@ -1070,6 +1201,7 @@ def bundle_adjust(prob: BAProblem, options: BAOptions = BAOptions(),
                 solver=_resolve_solver(prob, options),
                 cg_max_iters=options.cg_max_iters,
                 cg_tol=options.cg_tol,
+                backend=_resolve_backend(options),
             )
         )
     info = {

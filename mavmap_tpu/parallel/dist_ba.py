@@ -29,7 +29,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ba.core import (
-    BAProblem, _all_residuals,
+    BAProblem, _all_residuals, _gather_dense_points, _scatter_dense_points,
     _assemble_blocks, _backsub_points, _lm_step_cg,
 )
 from ..ops.rotation import rotmat_from_rvec
@@ -125,12 +125,12 @@ def partition_problem(
     return stacked, new_index, per_shard
 
 
-def _local_normal_terms(prob: BAProblem, poses, points, lam, scale, axis):
+def _local_normal_terms(prob: BAProblem, poses, points_d, lam, scale, axis):
     """Shard-local contributions + psum-reduced camera system pieces
     (dense path: materializes the full Schur matrix from the pair list)."""
     I = poses.shape[0]
     U, Vinv, bp, G, T, g_red = _assemble_blocks(
-        prob, poses, points, lam, scale, psum_axis=axis
+        prob, poses, points_d, lam, scale, psum_axis=axis
     )
 
     Ta = T[prob.pair_a]
@@ -146,8 +146,8 @@ def _local_normal_terms(prob: BAProblem, poses, points, lam, scale, axis):
     return S, g_red, G, Vinv, bp
 
 
-def _dist_cost(prob: BAProblem, poses, points, scale, axis):
-    r = _all_residuals(prob, poses, points)
+def _dist_cost(prob: BAProblem, poses, points_d, scale, axis):
+    r = _all_residuals(prob, poses, points_d)
     s = jnp.sum(r * r, axis=-1)
     c2 = scale * scale
     rho = c2 * jnp.log1p(s / c2)
@@ -186,23 +186,27 @@ def _dist_lm_loop(prob: BAProblem, scale, lambda_init, max_iters, axis,
         return (it < max_iters) & (~done)
 
     def body(state):
-        poses, points, lam, it, done, cost = state
-        dc, dp = lm_step(poses, points, lam)
+        poses, points_d, lam, it, done, cost = state
+        dc, dp = lm_step(poses, points_d, lam)
         new_poses = poses + dc
-        new_points = points + dp
+        new_points = points_d + dp
         new_cost = _dist_cost(prob, new_poses, new_points, scale, axis)
         accept = new_cost < cost
         poses = jnp.where(accept, new_poses, poses)
-        points = jnp.where(accept, new_points, points)
+        points_d = jnp.where(accept, new_points, points_d)
         lam = jnp.clip(jnp.where(accept, lam * 0.5, lam * 10.0), 1e-10, 1e8)
         rel = (cost - new_cost) / jnp.maximum(cost, 1e-20)
         done = accept & (rel < 1e-4)
         cost = jnp.where(accept, new_cost, cost)
-        return (poses, points, lam, it + 1, done, cost)
+        return (poses, points_d, lam, it + 1, done, cost)
 
-    init_cost = _dist_cost(prob, prob.poses, prob.points, scale, axis)
-    state = (prob.poses, prob.points, jnp.float32(lambda_init), 0, False, init_cost)
-    poses, points, lam, it, done, cost = jax.lax.while_loop(cond, body, state)
+    points_d0 = _gather_dense_points(prob, prob.points)
+    init_cost = _dist_cost(prob, prob.poses, points_d0, scale, axis)
+    state = (prob.poses, points_d0, jnp.float32(lambda_init), 0, False,
+             init_cost)
+    poses, points_d, lam, it, done, cost = jax.lax.while_loop(cond, body,
+                                                              state)
+    points = _scatter_dense_points(prob, prob.points, points_d)
     return poses, points, cost, init_cost, it
 
 
