@@ -110,6 +110,8 @@ class BAProblem(NamedTuple):
     point_rows: jnp.ndarray        # (Pd,) int32 dense row -> full point row
                                    #   (pads hold P: dropped on scatter-back)
     point_free_dense: jnp.ndarray  # (Pd,) f32
+    pt_gather_rows: jnp.ndarray    # (Pd,) int32 banded-kernel gather map
+                                   #   (ops/pallas/ba_accum.py; -1 = no obs)
 
 
 def build_problem(
@@ -260,6 +262,10 @@ def build_problem(
     point_rows[:Pd0] = rows0
     point_free_dense = np.zeros(Pd, np.float32)
     point_free_dense[:Pd0] = point_free[rows0]
+    from ..ops.pallas.ba_accum import gather_rows_for_sorted
+    pt_gather_rows = gather_rows_for_sorted(
+        pad(group_id, obs_capacity, fill=int(group_id[-1]) if O else 0), Pd
+    )
 
     if rot_prior is None:
         rot_prior = np.zeros((I, 3), np.float32)
@@ -302,6 +308,7 @@ def build_problem(
         ),
         point_rows=jnp.asarray(point_rows),
         point_free_dense=jnp.asarray(point_free_dense),
+        pt_gather_rows=jnp.asarray(pt_gather_rows),
     )
 
 
@@ -357,9 +364,15 @@ def _cauchy_weight(res_sq_norm, scale):
 
 
 def _total_cost_d(prob: BAProblem, poses, points_d, scale):
-    """Robust total cost over DENSE points."""
-    r = _all_residuals(prob, poses, points_d)
-    s = jnp.sum(r * r, axis=-1)
+    """Robust total cost over DENSE points (column arithmetic)."""
+    from . import colmath as cm
+
+    r2 = cm.residual_cols(
+        poses[prob.obs_image], points_d[prob.obs_point_dense],
+        prob.cam_params[prob.obs_cam], prob.cam_models[prob.obs_cam],
+        prob.obs_uv,
+    )
+    s = r2[0] * r2[0] + r2[1] * r2[1]
     c2 = scale * scale
     rho = c2 * jnp.log1p(s / c2)
     cost = 0.5 * jnp.sum(jnp.where(prob.obs_mask, rho, 0.0))
@@ -463,6 +476,7 @@ def _seg_pt(prob: BAProblem, vals, backend):
 
         flat = vals.reshape(vals.shape[0], -1)
         out = seg_accum_sorted(flat, prob.obs_point_dense, Pd,
+                               gather_rows=prob.pt_gather_rows,
                                interpret=backend == "pallas_interpret")
         return out.reshape((Pd,) + vals.shape[1:])
     return jax.ops.segment_sum(
@@ -500,12 +514,14 @@ def _assemble_blocks(prob: BAProblem, poses, points_d, lam, scale,
     """Shared normal-equation block assembly for both Schur solvers.
 
     points_d is DENSE (Pd, 3); all per-point outputs are dense too.
+    Everything per-observation runs in COLUMN ARITHMETIC (ba/colmath.py) —
+    flat (O, K) arrays, no tiny-minor-dim einsum layouts.
     Returns (U, Vinv, bp, G, T, g_red):
       U     (I,6,6)  damped per-image blocks incl. rotation priors,
-      Vinv  (Pd,3,3) inverse damped point blocks,
+      Vinv  (Pd,9)   FLAT inverse damped point blocks (row-major 3x3),
       bp    (Pd,3)   point gradients,
-      G     (O,6,3)  per-observation camera-point coupling Jc^T W Jp,
-      T     (O,6,3)  G V^-1,
+      G     (O,18)   FLAT camera-point coupling Jc^T W Jp (row-major 6x3),
+      T     (O,18)   FLAT G V^-1,
       g_red (I,6)    reduced gradient bc - sum_o T_o bp[pt_o].
 
     With `psum_axis` (inside shard_map, point-disjoint observation
@@ -514,28 +530,45 @@ def _assemble_blocks(prob: BAProblem, poses, points_d, lam, scale,
     `backend` picks the segment-reduction path ("xla" | "pallas" |
     "pallas_interpret").
     """
+    from . import colmath as cm
+
     I = poses.shape[0]
 
-    r, Jc, Jp = _obs_jacobians(prob, poses, points_d)
-    w = _cauchy_weight(jnp.sum(r * r, axis=-1), scale)
+    poses_o = poses[prob.obs_image]
+    X_o = points_d[prob.obs_point_dense]
+    cams_o = prob.cam_params[prob.obs_cam]
+    codes_o = prob.cam_models[prob.obs_cam]
+    r2, Jc, Jp = cm.residual_jacobian_cols(poses_o, X_o, cams_o, codes_o,
+                                           prob.obs_uv)
+    w = _cauchy_weight(r2[0] * r2[0] + r2[1] * r2[1], scale)
     w = jnp.where(prob.obs_mask, w, 0.0)
 
-    # Apply gauge masks directly to the Jacobians (fixed params contribute
-    # nothing and receive no update).
-    Jc = Jc * prob.pose_free[prob.obs_image][:, None, :]
-    Jp = Jp * prob.point_free_dense[prob.obs_point_dense][:, None, None]
+    # Apply gauge masks directly to the Jacobian columns (fixed params
+    # contribute nothing and receive no update).
+    pf_o = prob.pose_free[prob.obs_image]            # (O, 6)
+    pfd_o = prob.point_free_dense[prob.obs_point_dense]  # (O,)
+    for k in range(2):
+        for i in range(6):
+            Jc[k][i] = Jc[k][i] * pf_o[:, i]
+        for i in range(3):
+            Jp[k][i] = Jp[k][i] * pfd_o
 
-    wJc = w[:, None, None] * Jc
-    # Per-image 6x6 blocks + gradient.
-    U = _seg_img(prob, jnp.einsum("oki,okj->oij", wJc, Jc), I, backend)
-    bc = _seg_img(prob, jnp.einsum("oki,ok->oi", wJc, r), I, backend)
+    # Per-image 6x6 blocks + gradient: one (O, 42) reduction.
+    Ubc = cm.stack_cols_wide(cm.jtwj_cols(Jc, Jc, w) + cm.jtwr_cols(Jc, r2, w))
+    UB = _seg_img(prob, Ubc, I, backend)
+    U = UB[:, :36].reshape(I, 6, 6)
+    bc = UB[:, 36:]
     if psum_axis is not None:
         U = jax.lax.psum(U, psum_axis)
         bc = jax.lax.psum(bc, psum_axis)
-    # Per-point 3x3 blocks + gradient (dense point space).
-    wJp = w[:, None, None] * Jp
-    V = _seg_pt(prob, jnp.einsum("oki,okj->oij", wJp, Jp), backend)
-    bp = _seg_pt(prob, jnp.einsum("oki,ok->oi", wJp, r), backend)
+    # Per-point 3x3 blocks + gradient: one (O, 12) dense reduction.
+    Vbp = _seg_pt(
+        prob,
+        cm.stack_cols_wide(cm.jtwj_cols(Jp, Jp, w) + cm.jtwr_cols(Jp, r2, w)),
+        backend,
+    )
+    Vf = Vbp[:, :9]    # (Pd, 9) flat
+    bp = Vbp[:, 9:]
 
     # Rotation-prior residuals add to the pose diagonal (rvec part only).
     # Replicated data in the sharded case: added once, after the psum.
@@ -546,26 +579,31 @@ def _assemble_blocks(prob: BAProblem, poses, points_d, lam, scale,
     # Marquardt damping: lambda * diag(H) (+ small floor) — scales the step
     # correctly across wildly different parameter magnitudes (radians vs
     # focal lengths), unlike lambda * I.
-    def damp(M):
-        d = jnp.diagonal(M, axis1=-2, axis2=-1)
-        return M + (lam * (d + 1e-6))[..., None] * jnp.eye(M.shape[-1])
+    d = jnp.diagonal(U, axis1=-2, axis2=-1)
+    U = U + (lam * (d + 1e-6))[..., None] * jnp.eye(6)
+    Vcols = cm.cols_of(Vf)
+    dampf = lam  # same Marquardt rule, column form
+    pin = 1.0 - prob.point_free_dense
+    for di in (0, 4, 8):
+        Vcols[di] = Vcols[di] + dampf * (Vcols[di] + 1e-6) + pin
 
-    U = damp(U)
-    V = damp(V)
-    # Fixed points: make their block identity so V^-1 is benign; update is
-    # masked anyway.
-    V = V + (1.0 - prob.point_free_dense)[:, None, None] * jnp.eye(3)[None]
+    Vinv = cm.stack_cols(cm.inv3x3_cols(Vcols))  # (Pd, 9) flat
 
-    Vinv = _inv3x3(V)  # (Pd, 3, 3) batched, closed form
-
-    # Per-observation camera-point coupling G_o = Jc^T W Jp (6, 3).
-    G = jnp.einsum("oki,okj->oij", wJc, Jp)  # (O, 6, 3)
-    T = jnp.einsum("oij,ojk->oik", G, Vinv[prob.obs_point_dense])  # (O, 6, 3)
+    # Per-observation camera-point coupling G_o = Jc^T W Jp (6x3 flat) and
+    # T = G V^-1.
+    Gcols = cm.jtwj_cols(Jc, Jp, w)                         # 18 columns
+    Vinv_o = Vinv[prob.obs_point_dense]                     # (O, 9)
+    Tcols = cm.matmul_cols(Gcols, cm.cols_of(Vinv_o), 6, 3, 3)
+    # NOT wide: G/T are consumed column-wise inside the CG loop — the
+    # transposed construction materializes worse there (measured +50 ms on
+    # the 30-iteration CG solve at O=200k).
+    G = cm.stack_cols(Gcols)
+    T = cm.stack_cols(Tcols)
 
     # Reduced gradient: g = bc - sum_o T_o bp[pt_o] scattered to img_o.
+    bp_o = cm.cols_of(bp[prob.obs_point_dense])
     g_local = _seg_img(
-        prob, jnp.einsum("oij,oj->oi", T, bp[prob.obs_point_dense]), I,
-        backend,
+        prob, cm.stack_cols(cm.matvec_cols(Tcols, bp_o, 6, 3)), I, backend
     )
     if psum_axis is not None:
         g_local = jax.lax.psum(g_local, psum_axis)
@@ -574,12 +612,20 @@ def _assemble_blocks(prob: BAProblem, poses, points_d, lam, scale,
 
 
 def _backsub_points(prob: BAProblem, Vinv, bp, G, dc, backend="xla"):
-    """dp_p = -V^-1 (bp_p + sum_{o in p} G_o^T dc[img_o]) — DENSE (Pd, 3)."""
+    """dp_p = -V^-1 (bp_p + sum_{o in p} G_o^T dc[img_o]) — DENSE (Pd, 3).
+
+    Vinv (Pd,9) and G (O,18) are FLAT row-major blocks."""
+    from . import colmath as cm
+
+    dc_o = cm.cols_of(dc[prob.obs_image])
     Gt_dc = _seg_pt(
-        prob, jnp.einsum("oij,oi->oj", G, dc[prob.obs_image]), backend
+        prob,
+        cm.stack_cols(cm.matTvec_cols(cm.cols_of(G), dc_o, 6, 3)),
+        backend,
     )
-    dp = -jnp.einsum("pij,pj->pi", Vinv, bp + Gt_dc)
-    return dp * prob.point_free_dense[:, None]
+    rhs = cm.cols_of(bp + Gt_dc)
+    dp = cm.stack_cols(cm.matvec_cols(cm.cols_of(Vinv), rhs, 3, 3))
+    return -dp * prob.point_free_dense[:, None]
 
 
 def _lm_step(prob: BAProblem, poses, points_d, lam, scale, backend="xla"):
@@ -589,9 +635,10 @@ def _lm_step(prob: BAProblem, poses, points_d, lam, scale, backend="xla"):
                                                 scale, backend=backend)
 
     # Schur: S = U - sum over co-observation pairs T_a G_b^T scattered to
-    # (img_a, img_b) blocks.
-    Ta = T[prob.pair_a]
-    Gb = G[prob.pair_b]
+    # (img_a, img_b) blocks. (Flat 18-blocks -> (Q, 6, 3) for the pair math;
+    # the dense path only runs on small problems.)
+    Ta = T[prob.pair_a].reshape(-1, 6, 3)
+    Gb = G[prob.pair_b].reshape(-1, 6, 3)
     contrib = jnp.einsum("qij,qkj->qik", Ta, Gb)  # (Q, 6, 6)
     contrib = jnp.where(prob.pair_mask[:, None, None], contrib, 0.0)
     pair_blk = prob.obs_image[prob.pair_a] * I + prob.obs_image[prob.pair_b]
@@ -635,10 +682,21 @@ def _lm_step_cg(prob: BAProblem, poses, points_d, lam, scale,
         prob, poses, points_d, lam, scale, psum_axis=psum_axis,
         backend=backend,
     )
+    from . import colmath as cm
+
     free = prob.pose_free  # (I, 6)
+    Gcols = cm.cols_of(G)
+    Tcols = cm.cols_of(T)
+    # In-loop matvec reductions: XLA's sorted segment sums beat the Pallas
+    # kernels at the matvec's tiny K (3/6 columns) — measured 167 vs 395 ms
+    # per 30-iteration CG solve at O=200k. Keep Pallas for the (wider)
+    # assembly reductions; interpret mode still exercises the kernels.
+    mv_backend = "xla" if backend == "pallas" else backend
 
     # Block-Jacobi preconditioner: exact diagonal blocks of S.
-    D_local = _seg_img(prob, jnp.einsum("oij,okj->oik", T, G), I, backend)
+    D_local = _seg_img(
+        prob, cm.stack_cols(cm.abt_cols(Tcols, Gcols, 6, 3, 6)), I, backend
+    ).reshape(I, 6, 6)
     if psum_axis is not None:
         D_local = jax.lax.psum(D_local, psum_axis)
     D = U - D_local
@@ -649,12 +707,16 @@ def _lm_step_cg(prob: BAProblem, poses, points_d, lam, scale,
 
     def matvec(x):  # x (I, 6), free-masked
         y = jnp.einsum("iab,ib->ia", U, x)
-        t = jnp.einsum("oij,oi->oj", G, x[prob.obs_image])  # (O, 3)
-        tp = _seg_pt(prob, t, backend)
-        s = jnp.einsum("pij,pj->pi", Vinv, tp)
+        x_o = cm.cols_of(x[prob.obs_image])
+        t = cm.stack_cols(cm.matTvec_cols(Gcols, x_o, 6, 3))  # (O, 3)
+        tp = _seg_pt(prob, t, mv_backend)
+        s = cm.stack_cols(
+            cm.matvec_cols(cm.cols_of(Vinv), cm.cols_of(tp), 3, 3)
+        )
+        s_o = cm.cols_of(s[prob.obs_point_dense])
         y2 = _seg_img(
-            prob, jnp.einsum("oij,oj->oi", G, s[prob.obs_point_dense]), I,
-            backend,
+            prob, cm.stack_cols(cm.matvec_cols(Gcols, s_o, 6, 3)), I,
+            mv_backend,
         )
         if psum_axis is not None:
             y2 = jax.lax.psum(y2, psum_axis)
@@ -721,70 +783,110 @@ def _assemble_selfcal_blocks(prob: BAProblem, poses, points_d, cam_params,
     (O,2), robust weights, damped point blocks, couplings G/T, gradient and
     reduced gradient over the B=I+C blocks, the direct DIAGONAL blocks
     Ddiag (incl. rotation priors, undamped), and the pose-row prior blocks
-    Ur9. points_d / all per-point outputs are DENSE."""
+    Ur9. points_d / all per-point outputs are DENSE.
+
+    Column-arithmetic layout (ba/colmath.py): Ecols[a] is the 2x9
+    column-list Jacobian of entry a (0 = pose block 9-padded, 1 = shared
+    intrinsics); Gcols[a]/Tcols[a] are 27 flat columns (9x3 row-major);
+    Vinv is (Pd, 9) flat."""
+    from . import colmath as cm
+
     I = poses.shape[0]
     C = cam_params.shape[0]
     B = I + C
+    O = prob.obs_uv.shape[0]
 
-    r, Jc, Jp, Jk = _obs_jacobians_full(prob, poses, points_d, cam_params)
-    w = _cauchy_weight(jnp.sum(r * r, axis=-1), scale)
+    poses_o = poses[prob.obs_image]
+    X_o = points_d[prob.obs_point_dense]
+    cams_o = cam_params[prob.obs_cam]
+    codes_o = prob.cam_models[prob.obs_cam]
+    r2, Jc, Jp, Jk = cm.residual_jacobian_cols(
+        poses_o, X_o, cams_o, codes_o, prob.obs_uv, with_intrinsics=True
+    )
+    w = _cauchy_weight(r2[0] * r2[0] + r2[1] * r2[1], scale)
     w = jnp.where(prob.obs_mask, w, 0.0)
-    Jc = Jc * prob.pose_free[prob.obs_image][:, None, :]
-    Jp = Jp * prob.point_free_dense[prob.obs_point_dense][:, None, None]
-    Jk = Jk * cam_free[prob.obs_cam][:, None, :]
 
-    Jc9 = jnp.concatenate([Jc, jnp.zeros_like(Jc[..., :3])], axis=-1)
-    E = jnp.stack([Jc9, Jk], axis=1)                     # (O, 2, 2, 9)
+    pf_o = prob.pose_free[prob.obs_image]
+    pfd_o = prob.point_free_dense[prob.obs_point_dense]
+    cf_o = cam_free[prob.obs_cam]
+    zero = jnp.zeros((O,), poses_o.dtype)
+    for k in range(2):
+        for i in range(6):
+            Jc[k][i] = Jc[k][i] * pf_o[:, i]
+        for i in range(3):
+            Jp[k][i] = Jp[k][i] * pfd_o
+        for i in range(9):
+            Jk[k][i] = Jk[k][i] * cf_o[:, i]
+    Ecols = [
+        [[Jc[0][i] if i < 6 else zero for i in range(9)],
+         [Jc[1][i] if i < 6 else zero for i in range(9)]],
+        Jk,
+    ]
     blk = jnp.stack([prob.obs_image, I + prob.obs_cam], axis=1)  # (O, 2)
-    wE = w[:, None, None, None] * E
 
     g = jnp.zeros((B, 9))
     Ddiag = jnp.zeros((B, 9, 9))
     for a in range(2):
         g = g + _seg_ids(
-            blk[:, a], jnp.einsum("oki,ok->oi", wE[:, a], r), B, backend
+            blk[:, a], cm.stack_cols_wide(cm.jtwr_cols(Ecols[a], r2, w)),
+            B, backend,
         )
         Ddiag = Ddiag + _seg_ids(
-            blk[:, a], jnp.einsum("oki,okj->oij", wE[:, a], E[:, a]), B,
-            backend,
-        )
+            blk[:, a],
+            cm.stack_cols_wide(cm.jtwj_cols(Ecols[a], Ecols[a], w)),
+            B, backend,
+        ).reshape(B, 9, 9)
 
-    wJp = w[:, None, None] * Jp
-    V = _seg_pt(prob, jnp.einsum("oki,okj->oij", wJp, Jp), backend)
-    bp = _seg_pt(prob, jnp.einsum("oki,ok->oi", wJp, r), backend)
-    dV = jnp.diagonal(V, axis1=-2, axis2=-1)
-    V = V + (lam * (dV + 1e-6))[..., None] * jnp.eye(3)
-    V = V + (1.0 - prob.point_free_dense)[:, None, None] * jnp.eye(3)[None]
-    Vinv = _inv3x3(V)
+    Vbp = _seg_pt(
+        prob,
+        cm.stack_cols_wide(cm.jtwj_cols(Jp, Jp, w) + cm.jtwr_cols(Jp, r2, w)),
+        backend,
+    )
+    Vcols = cm.cols_of(Vbp[:, :9])
+    bp = Vbp[:, 9:]
+    pin = 1.0 - prob.point_free_dense
+    for di in (0, 4, 8):
+        Vcols[di] = Vcols[di] + lam * (Vcols[di] + 1e-6) + pin
+    Vinv = cm.stack_cols_wide(cm.inv3x3_cols(Vcols))  # (Pd, 9) flat
 
     Ur, br = _rot_prior_blocks(prob, poses)
     Ur9 = jnp.zeros((I, 9, 9)).at[:, :6, :6].set(Ur)
     Ddiag = Ddiag.at[jnp.arange(I)].add(Ur9)
     g = g.at[:I, :6].add(br)
 
-    G = jnp.einsum("oaki,okj->oaij", wE, Jp)             # (O, 2, 9, 3)
-    T = jnp.einsum("oaij,ojk->oaik", G, Vinv[prob.obs_point_dense])
+    Vinv_o = cm.cols_of(Vinv[prob.obs_point_dense])
+    Gcols = [cm.jtwj_cols(Ecols[a], Jp, w) for a in range(2)]   # 27 each
+    Tcols = [cm.matmul_cols(Gcols[a], Vinv_o, 9, 3, 3) for a in range(2)]
 
+    bp_o = cm.cols_of(bp[prob.obs_point_dense])
     g_red = g - sum(
         _seg_ids(
             blk[:, a],
-            jnp.einsum("oij,oj->oi", T[:, a], bp[prob.obs_point_dense]),
+            cm.stack_cols_wide(cm.matvec_cols(Tcols[a], bp_o, 9, 3)),
             B, backend,
         )
         for a in range(2)
     )
-    return E, blk, w, Vinv, bp, G, T, g, g_red, Ddiag, Ur9
+    return Ecols, blk, w, Vinv, bp, Gcols, Tcols, g, g_red, Ddiag, Ur9
 
 
-def _selfcal_backsub(prob: BAProblem, Vinv, bp, G, blk, dx, backend="xla"):
+def _selfcal_backsub(prob: BAProblem, Vinv, bp, Gcols, blk, dx,
+                     backend="xla"):
+    from . import colmath as cm
+
     Gt_dx = sum(
         _seg_pt(
-            prob, jnp.einsum("oij,oi->oj", G[:, a], dx[blk[:, a]]), backend
+            prob,
+            cm.stack_cols(
+                cm.matTvec_cols(Gcols[a], cm.cols_of(dx[blk[:, a]]), 9, 3)
+            ),
+            backend,
         )
         for a in range(2)
     )
-    dp = -jnp.einsum("pij,pj->pi", Vinv, bp + Gt_dx)
-    return dp * prob.point_free_dense[:, None]
+    rhs = cm.cols_of(bp + Gt_dx)
+    dp = cm.stack_cols(cm.matvec_cols(cm.cols_of(Vinv), rhs, 3, 3))
+    return -dp * prob.point_free_dense[:, None]
 
 
 def _lm_step_selfcal(prob: BAProblem, poses, points_d, cam_params, cam_free,
@@ -800,21 +902,25 @@ def _lm_step_selfcal(prob: BAProblem, poses, points_d, cam_params, cam_free,
     Schur pair sum runs over the 4 entry combinations per co-observation
     pair. Returns (dposes, dpoints, dcams).
     """
+    from . import colmath as cm
+
     I = poses.shape[0]
     C = cam_params.shape[0]
     B = I + C
 
-    E, blk, w, Vinv, bp, G, T, g, g_red, Ddiag, Ur9 = _assemble_selfcal_blocks(
+    (Ecols, blk, w, Vinv, bp, Gcols, Tcols, g, g_red, Ddiag,
+     Ur9) = _assemble_selfcal_blocks(
         prob, poses, points_d, cam_params, cam_free, lam, scale,
         backend=backend,
     )
-    wE = w[:, None, None, None] * E
 
     # Full direct Hessian: all entry pairs within one observation.
     H = jnp.zeros((B * B, 9, 9))
     for a in range(2):
         for b in range(2):
-            contrib = jnp.einsum("oki,okj->oij", wE[:, a], E[:, b])
+            contrib = cm.stack_cols_wide(
+                cm.jtwj_cols(Ecols[a], Ecols[b], w)
+            ).reshape(-1, 9, 9)
             H = H + _seg_ids(
                 blk[:, a] * B + blk[:, b], contrib, B * B, backend
             )
@@ -822,11 +928,13 @@ def _lm_step_selfcal(prob: BAProblem, poses, points_d, cam_params, cam_free,
     H = H.at[jnp.arange(I), jnp.arange(I)].add(Ur9)
 
     # Schur off-diagonal over co-observation pairs x 4 entry combos.
+    G2 = [cm.stack_cols_wide(Gcols[a]) for a in range(2)]  # (O, 27)
+    T2 = [cm.stack_cols_wide(Tcols[a]) for a in range(2)]
     S_off = jnp.zeros((B * B, 9, 9))
     for a in range(2):
         for b in range(2):
-            Ta = T[prob.pair_a, a]
-            Gb = G[prob.pair_b, b]
+            Ta = T2[a][prob.pair_a].reshape(-1, 9, 3)
+            Gb = G2[b][prob.pair_b].reshape(-1, 9, 3)
             contrib = jnp.einsum("qij,qkj->qik", Ta, Gb)
             contrib = jnp.where(prob.pair_mask[:, None, None], contrib, 0.0)
             pair_blk = blk[prob.pair_a, a] * B + blk[prob.pair_b, b]
@@ -852,7 +960,7 @@ def _lm_step_selfcal(prob: BAProblem, poses, points_d, cam_params, cam_free,
     dc = dx[:I, :6] * prob.pose_free
     dk = dx[I:] * cam_free
 
-    dp = _selfcal_backsub(prob, Vinv, bp, G, blk, dx, backend=backend)
+    dp = _selfcal_backsub(prob, Vinv, bp, Gcols, blk, dx, backend=backend)
     return dc, dp, dk
 
 
@@ -863,14 +971,18 @@ def _lm_step_selfcal_cg(prob: BAProblem, poses, points_d, cam_params,
     reduced system over 9*(I + C) variables is never materialized (the
     dense path's (B, B, 9, 9) Schur tensor and pair enumeration are the
     memory hogs past a few hundred cameras)."""
+    from . import colmath as cm
+
     I = poses.shape[0]
     C = cam_params.shape[0]
     B = I + C
 
-    E, blk, w, Vinv, bp, G, T, g, g_red, Ddiag, Ur9 = _assemble_selfcal_blocks(
+    (Ecols, blk, w, Vinv, bp, Gcols, Tcols, g, g_red, Ddiag,
+     Ur9) = _assemble_selfcal_blocks(
         prob, poses, points_d, cam_params, cam_free, lam, scale,
         backend=backend,
     )
+    mv_backend = "xla" if backend == "pallas" else backend
 
     # Marquardt damping from the undamped direct diagonal.
     dH = jnp.diagonal(Ddiag, axis1=-2, axis2=-1)
@@ -886,9 +998,10 @@ def _lm_step_selfcal_cg(prob: BAProblem, poses, points_d, cam_params,
     # iterations on the 9 intrinsics dims.
     D_schur = sum(
         _seg_ids(
-            blk[:, a], jnp.einsum("oij,okj->oik", T[:, a], G[:, a]), B,
-            backend,
-        )
+            blk[:, a],
+            cm.stack_cols_wide(cm.abt_cols(Tcols[a], Gcols[a], 9, 3, 9)),
+            B, backend,
+        ).reshape(B, 9, 9)
         for a in range(2)
     )
     D = Ddiag + jax.vmap(jnp.diag)(damp) - D_schur
@@ -897,25 +1010,43 @@ def _lm_step_selfcal_cg(prob: BAProblem, poses, points_d, cam_params,
     Minv = jnp.linalg.inv(D)
 
     def matvec(x):  # x (B, 9), free-masked
-        xa = x[blk]                                       # (O, 2, 9)
-        u = w[:, None] * jnp.einsum("oakj,oaj->ok", E, xa)  # (O, 2)
+        xa = [cm.cols_of(x[blk[:, a]]) for a in range(2)]   # 2 x 9 cols
+        # u_k = w * sum_a sum_j E[a][k][j] xa[a][j]  (the 2 residual rows)
+        u = [
+            w * sum(
+                sum(Ecols[a][k][j] * xa[a][j] for j in range(9))
+                for a in range(2)
+            )
+            for k in range(2)
+        ]
         y = jnp.zeros((B, 9))
         for a in range(2):
-            y = y + _seg_ids(
-                blk[:, a], jnp.einsum("oki,ok->oi", E[:, a], u), B, backend
+            contrib = cm.stack_cols(
+                [Ecols[a][0][i] * u[0] + Ecols[a][1][i] * u[1]
+                 for i in range(9)]
             )
+            y = y + _seg_ids(blk[:, a], contrib, B, mv_backend)
         # Rotation prior + damping on the diagonal.
         y = y.at[:I].add(jnp.einsum("iab,ib->ia", Ur9, x[:I]))
         y = y + damp * x
-        # Schur term.
-        t = jnp.einsum("oaij,oai->oj", G, xa)             # (O, 3)
-        tp = _seg_pt(prob, t, backend)
-        sv = jnp.einsum("pij,pj->pi", Vinv, tp)
+        # Schur term (G carries the w factor already).
+        t = [
+            sum(
+                sum(Gcols[a][i * 3 + j] * xa[a][i] for i in range(9))
+                for a in range(2)
+            )
+            for j in range(3)
+        ]
+        tp = _seg_pt(prob, cm.stack_cols(t), mv_backend)
+        sv = cm.stack_cols(
+            cm.matvec_cols(cm.cols_of(Vinv), cm.cols_of(tp), 3, 3)
+        )
+        sv_o = cm.cols_of(sv[prob.obs_point_dense])
         for a in range(2):
             y = y - _seg_ids(
                 blk[:, a],
-                jnp.einsum("oij,oj->oi", G[:, a], sv[prob.obs_point_dense]),
-                B, backend,
+                cm.stack_cols(cm.matvec_cols(Gcols[a], sv_o, 9, 3)),
+                B, mv_backend,
             )
         return y * free
 
@@ -947,19 +1078,19 @@ def _lm_step_selfcal_cg(prob: BAProblem, poses, points_d, cam_params,
     dx = x * free
     dc = dx[:I, :6] * prob.pose_free
     dk = dx[I:] * cam_free
-    dp = _selfcal_backsub(prob, Vinv, bp, G, blk, dx, backend=backend)
+    dp = _selfcal_backsub(prob, Vinv, bp, Gcols, blk, dx, backend=backend)
     return dc, dp, dk
 
 
 def _total_cost_selfcal_d(prob: BAProblem, poses, points_d, cam_params,
                           scale):
-    def one(img, pt, cm, uv):
-        return _obs_residual(poses[img], points_d[pt], cam_params[cm],
-                             prob.cam_models[cm], uv)
+    from . import colmath as cm
 
-    r = jax.vmap(one)(prob.obs_image, prob.obs_point_dense, prob.obs_cam,
-                      prob.obs_uv)
-    s = jnp.sum(r * r, axis=-1)
+    r2 = cm.residual_cols(
+        poses[prob.obs_image], points_d[prob.obs_point_dense],
+        cam_params[prob.obs_cam], prob.cam_models[prob.obs_cam], prob.obs_uv,
+    )
+    s = r2[0] * r2[0] + r2[1] * r2[1]
     c2 = scale * scale
     rho = c2 * jnp.log1p(s / c2)
     cost = 0.5 * jnp.sum(jnp.where(prob.obs_mask, rho, 0.0))
@@ -1111,6 +1242,17 @@ def _resolve_solver(prob: BAProblem, options: BAOptions) -> str:
     return options.solver
 
 
+def _selfcal_cam_free(prob: BAProblem):
+    """Per-camera free mask over the 9 padded intrinsics slots."""
+    from ..models.camera import CAMERA_MODEL_NUM_PARAMS
+
+    cam_free = np.zeros(prob.cam_params.shape, np.float32)
+    models = np.asarray(prob.cam_models)
+    for c in range(len(models)):
+        cam_free[c, : CAMERA_MODEL_NUM_PARAMS[int(models[c])]] = 1.0
+    return jnp.asarray(cam_free)
+
+
 def bundle_adjust_async(prob: BAProblem, options: BAOptions = BAOptions(),
                         num_obs=None):
     """Dispatch the LM loop without blocking; returns a finalize() callable.
@@ -1118,28 +1260,40 @@ def bundle_adjust_async(prob: BAProblem, options: BAOptions = BAOptions(),
     On a remote-attached TPU the blocking pull of results costs as much as
     the solve itself; the sequential mapper dispatches each local BA async
     and applies the results lazily just before the next solve (one frame of
-    pose staleness, corrected by the next refinement + BA).
+    pose staleness, corrected by the next refinement + BA). With
+    options.refine_camera_params the self-calibration loop is dispatched
+    and info carries "cam_params" (the reference refines intrinsics in
+    every BA by default, mapper.cc:878-885).
     """
-    fut = _lm_loop(
-        prob,
+    common = dict(
+        solver=_resolve_solver(prob, options),
+        cg_max_iters=options.cg_max_iters,
+        cg_tol=options.cg_tol,
+        backend=_resolve_backend(options),
+    )
+    lm_args = (
         jnp.float32(options.loss_scale_factor),
         options.lambda_init,
         options.lambda_up,
         options.lambda_down,
         options.function_tolerance,
         options.max_num_iterations,
-        solver=_resolve_solver(prob, options),
-        cg_max_iters=options.cg_max_iters,
-        cg_tol=options.cg_tol,
-        backend=_resolve_backend(options),
     )
+    selfcal = options.refine_camera_params
+    if selfcal:
+        fut = _lm_loop_selfcal(prob, _selfcal_cam_free(prob), *lm_args,
+                               **common)
+    else:
+        fut = _lm_loop(prob, *lm_args, **common)
 
     def finalize(prefetched=None):
         """prefetched: host values of `finalize.fut` if the caller already
         pulled them (batched into another device_get — saves one RTT)."""
-        poses, points, cost, init_cost, iters = (
-            prefetched if prefetched is not None else jax.device_get(fut)
-        )
+        vals = prefetched if prefetched is not None else jax.device_get(fut)
+        if selfcal:
+            poses, points, cams, cost, init_cost, iters = vals
+        else:
+            poses, points, cost, init_cost, iters = vals
         info = {
             "initial_cost": init_cost,
             "final_cost": cost,
@@ -1149,8 +1303,12 @@ def bundle_adjust_async(prob: BAProblem, options: BAOptions = BAOptions(),
             "num_residuals": 2 * (num_obs if num_obs is not None
                                   else int(prob.obs_mask.sum())),
         }
+        if selfcal:
+            info["cam_params"] = np.asarray(cams)
         if options.update_point3D_errors:
-            info["point_errors"] = point_mean_errors(prob, poses, points)
+            info["point_errors"] = point_mean_errors(
+                prob._replace(cam_params=jnp.asarray(cams)) if selfcal
+                else prob, poses, points)
         return poses, points, info
 
     finalize.fut = fut
@@ -1165,16 +1323,10 @@ def bundle_adjust(prob: BAProblem, options: BAOptions = BAOptions(),
     refined too (self-calibration) and returned in info["cam_params"].
     """
     if options.refine_camera_params:
-        from ..models.camera import CAMERA_MODEL_NUM_PARAMS
-
-        cam_free = np.zeros(prob.cam_params.shape, np.float32)
-        models = np.asarray(prob.cam_models)
-        for c in range(len(models)):
-            cam_free[c, : CAMERA_MODEL_NUM_PARAMS[int(models[c])]] = 1.0
         poses, points, cams, cost, init_cost, iters = jax.device_get(
             _lm_loop_selfcal(
                 prob,
-                jnp.asarray(cam_free),
+                _selfcal_cam_free(prob),
                 jnp.float32(options.loss_scale_factor),
                 options.lambda_init,
                 options.lambda_up,

@@ -90,10 +90,11 @@ def build_parser():
                    help="accepted for reference compatibility (declared but "
                         "unused by the reference as well)")
     p.add_argument("--local-ba-window-size", type=int, default=8)
-    p.add_argument("--local-ba-refine-camera-params", action="store_true",
-                   help="refine shared intrinsics in the local BA too "
-                        "(reference default true; disables the async local "
-                        "BA overlap)")
+    p.add_argument("--local-ba-refine-camera-params",
+                   action=argparse.BooleanOptionalAction, default=True,
+                   help="refine shared intrinsics in the local BA "
+                        "(reference default true, mapper.cc:882-885; "
+                        "--no-local-ba-refine-camera-params disables)")
     p.add_argument("--loop-detection-period", type=int, default=20)
     p.add_argument("--loop-detection-num-images", type=int, default=30)
     p.add_argument("--loop-detection-num-nh-images", type=int, default=15)
@@ -109,9 +110,11 @@ def build_parser():
                    help="use roll/pitch/yaw from imagedata.txt as IMU priors")
     p.add_argument("--constrain-rotation-weight", type=float, default=50.0)
     p.add_argument("--use-control-points", action="store_true")
-    p.add_argument("--refine-camera-params", action="store_true",
-                   help="refine shared camera intrinsics in the final "
-                        "global bundle adjustment (self-calibration)")
+    p.add_argument("--refine-camera-params",
+                   action=argparse.BooleanOptionalAction, default=True,
+                   help="refine shared camera intrinsics in global bundle "
+                        "adjustments (self-calibration; reference default "
+                        "true, mapper.cc:878-881)")
     p.add_argument("--control-point-data-path", default=None)
     p.add_argument("--filter-max-error", type=float, default=0.0)
 

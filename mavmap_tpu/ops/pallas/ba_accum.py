@@ -136,13 +136,38 @@ def _sorted_kernel(base_ref, seg_ref, c_ref, out_ref, carry_ref, cseg_ref):
     cseg_ref[0] = last_seg
 
 
-def seg_accum_sorted(contrib, seg_ids, num_segments, *, interpret=False):
+def gather_rows_for_sorted(seg_ids_np, num_segments):
+    """Host-side: per-segment row into the kernel's flat (num_tiles*TILE)
+    banded output; -1 for segments with no observations. Precompute once
+    per problem so the per-call epilogue is a single gather (a device
+    searchsorted inside a CG while_loop costs ~5 ms/iteration)."""
+    import numpy as np
+
+    O = len(seg_ids_np)
+    Opad = _round_up(O, TILE)
+    ids = np.concatenate(
+        [seg_ids_np, np.full(Opad - O, seg_ids_np[-1] if O else 0,
+                             seg_ids_np.dtype if O else np.int32)]
+    )
+    bases = ids[::TILE]
+    s = np.arange(num_segments)
+    tile_idx = np.clip(np.searchsorted(bases, s, side="right") - 1, 0,
+                       len(bases) - 1)
+    rel = s - bases[tile_idx]
+    ok = (s <= (ids[-1] if O else -1)) & (rel >= 0) & (rel < TILE)
+    rows = np.where(ok, tile_idx * TILE + rel, -1)
+    return rows.astype(np.int32)
+
+
+def seg_accum_sorted(contrib, seg_ids, num_segments, *, gather_rows=None,
+                     interpret=False):
     """Segment sum for SORTED, GAPLESS ids (large num_segments).
 
     contrib: (O, K) f32; seg_ids: (O,) int32 sorted ascending with every id
     in [0, seg_ids[-1]] present (gapless — guarantees a TILE-row window
     spans < TILE distinct ids). Returns (num_segments, K) f32; ids beyond
-    seg_ids[-1] are zero.
+    seg_ids[-1] are zero. Pass `gather_rows` (from gather_rows_for_sorted)
+    to skip the per-call searchsorted epilogue.
 
     The kernel emits per-tile banded sums with a carry chain; segment s is
     complete in the LAST tile whose base is <= s, recovered by one gather.
@@ -184,13 +209,16 @@ def seg_accum_sorted(contrib, seg_ids, num_segments, *, interpret=False):
     )(bases, seg_ids[:, None], contrib)
 
     # Segment s's total lives in its last owning tile at row s - base.
-    s_ids = jnp.arange(num_segments, dtype=jnp.int32)
-    tile_idx = (
-        jnp.searchsorted(bases, s_ids, side="right").astype(jnp.int32) - 1
-    )
-    tile_idx = jnp.clip(tile_idx, 0, num_tiles - 1)
-    rel = s_ids - bases[tile_idx]
-    ok = (s_ids <= seg_ids[-1]) & (rel >= 0) & (rel < TILE)
-    rows = jnp.clip(tile_idx * TILE + rel, 0, num_tiles * TILE - 1)
+    if gather_rows is None:
+        s_ids = jnp.arange(num_segments, dtype=jnp.int32)
+        tile_idx = (
+            jnp.searchsorted(bases, s_ids, side="right").astype(jnp.int32) - 1
+        )
+        tile_idx = jnp.clip(tile_idx, 0, num_tiles - 1)
+        rel = s_ids - bases[tile_idx]
+        ok = (s_ids <= seg_ids[-1]) & (rel >= 0) & (rel < TILE)
+        gather_rows = jnp.where(ok, tile_idx * TILE + rel, -1)
+    ok = gather_rows >= 0
+    rows = jnp.clip(gather_rows, 0, num_tiles * TILE - 1)
     flat = local.reshape(num_tiles * TILE, K)
     return jnp.where(ok[:, None], flat[rows], 0.0)

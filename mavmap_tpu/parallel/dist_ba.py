@@ -133,8 +133,9 @@ def _local_normal_terms(prob: BAProblem, poses, points_d, lam, scale, axis):
         prob, poses, points_d, lam, scale, psum_axis=axis
     )
 
-    Ta = T[prob.pair_a]
-    Gb = G[prob.pair_b]
+    # G/T are flat (O, 18) row-major 6x3 blocks (ba/colmath.py convention).
+    Ta = T[prob.pair_a].reshape(-1, 6, 3)
+    Gb = G[prob.pair_b].reshape(-1, 6, 3)
     contrib = jnp.einsum("qij,qkj->qik", Ta, Gb)
     contrib = jnp.where(prob.pair_mask[:, None, None], contrib, 0.0)
     pair_blk = prob.obs_image[prob.pair_a] * I + prob.obs_image[prob.pair_b]

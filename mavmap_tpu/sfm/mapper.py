@@ -17,6 +17,8 @@ with threshold / mean(fx, fy), exactly like the reference
 (camera_models.cc:47-52).
 """
 
+from collections import OrderedDict
+
 import numpy as np
 
 import jax
@@ -34,6 +36,31 @@ from .kernels import (
 from .options import SequentialMapperOptions
 
 
+class _LRUCache(OrderedDict):
+    """Bounded per-image cache: evicts least-recently-used beyond capacity.
+
+    The reference holds only a 2-image in-RAM feature window
+    (sequential_mapper.cc:2036-2076); this mapper keeps a window large
+    enough for the local-BA window + batched loop-closure / back-fill
+    candidates, re-fetching evicted images from the provider/disk cache on
+    miss. Without a bound, host features + device descriptors accumulate
+    ~0.5 MB+/image forever (HBM leak on long surveys)."""
+
+    def __init__(self, capacity):
+        super().__init__()
+        self.capacity = capacity
+
+    def get_or(self, key, make):
+        if key in self:
+            self.move_to_end(key)
+            return self[key]
+        val = make()
+        self[key] = val
+        if len(self) > self.capacity:
+            self.popitem(last=False)
+        return val
+
+
 class SequentialMapper:
     def __init__(
         self,
@@ -44,11 +71,13 @@ class SequentialMapper:
         loop_detector=None,
         seed=0,
         store_backend="auto",
+        cache_capacity=128,
     ):
         """image_cameras: (num_images,) camera index per dataset image;
         cam_models/cam_params: per-camera model codes and padded params;
         feature_provider: FeatureProvider with fixed capacity;
-        store_backend: 'python' | 'native' | 'auto' (C++ track core)."""
+        store_backend: 'python' | 'native' | 'auto' (C++ track core);
+        cache_capacity: max images kept in the host/device feature caches."""
         self.image_cameras = np.asarray(image_cameras, np.int32)
         self.cam_models = np.asarray(cam_models, np.int32)
         self.cam_params = np.asarray(cam_params, np.float32)
@@ -66,12 +95,18 @@ class SequentialMapper:
         self.min_image_idx = None
         self.max_image_idx = None
         self._key = jax.random.PRNGKey(seed)
-        self._feat_cache = {}
-        self._norm_cache = {}
+        # Bounded LRU caches. Device descriptors (intrinsics-independent)
+        # and normalized coords (intrinsics-DEPENDENT) are cached
+        # separately so self-calibration only invalidates the latter —
+        # refined intrinsics must not force descriptor re-uploads over the
+        # slow host->device link.
+        self._feat_cache = _LRUCache(cache_capacity)
+        self._norm_cache = _LRUCache(cache_capacity)
+        self._dev_feat_cache = _LRUCache(cache_capacity)
+        self._dev_norm_cache = _LRUCache(cache_capacity)
         # Optional DebugDumper (sfm/debug.py) — when set, debug=True calls
         # write the reference's per-pair/per-step artifacts.
         self.debug_dumper = None
-        self._dev_cache = {}
 
     # ------------------------------------------------------------- helpers
 
@@ -80,9 +115,9 @@ class SequentialMapper:
         return k
 
     def _features(self, image_idx):
-        if image_idx not in self._feat_cache:
-            self._feat_cache[image_idx] = self.provider.get(image_idx)
-        return self._feat_cache[image_idx]
+        return self._feat_cache.get_or(
+            image_idx, lambda: self.provider.get(image_idx)
+        )
 
     def _device_features(self, image_idx):
         """Per-image feature arrays resident on device (uploaded once).
@@ -91,27 +126,34 @@ class SequentialMapper:
         dominates per-frame latency on a remote-attached TPU; caching the
         jnp arrays makes repeat uses free.
         """
-        if image_idx not in self._dev_cache:
+
+        def make_feat():
             f = self._features(image_idx)
-            self._dev_cache[image_idx] = (
+            return (
                 jnp.asarray(f.keypoints),
                 jnp.asarray(f.descriptors),
                 jnp.asarray(f.mask),
-                jnp.asarray(self._normalized(image_idx)),
             )
-        return self._dev_cache[image_idx]
+
+        kp, desc, mask = self._dev_feat_cache.get_or(image_idx, make_feat)
+        n = self._dev_norm_cache.get_or(
+            image_idx, lambda: jnp.asarray(self._normalized(image_idx))
+        )
+        return kp, desc, mask, n
 
     def _normalized(self, image_idx):
         """Normalized coords of an image's (padded) keypoints."""
-        if image_idx not in self._norm_cache:
+
+        def make():
             f = self._features(image_idx)
             ci = self.image_cameras[image_idx]
             # Host numpy: a device round-trip for this tiny op costs ~2 RTTs
             # per frame on a remote-attached TPU.
-            self._norm_cache[image_idx] = cam.image2normalized_np(
+            return cam.image2normalized_np(
                 f.keypoints, int(self.cam_models[ci]), self.cam_params[ci]
             ).astype(np.float32)
-        return self._norm_cache[image_idx]
+
+        return self._norm_cache.get_or(image_idx, make)
 
     def _norm_threshold(self, px, image_idx):
         ci = self.image_cameras[image_idx]
@@ -152,7 +194,7 @@ class SequentialMapper:
         self.image_idx_to_id[image_idx] = image_id
         self.image_id_to_idx[image_id] = image_idx
         if self.loop_detector is not None:
-            dev = self._dev_cache.get(image_idx)
+            dev = self._dev_feat_cache.get(image_idx)
             self.loop_detector.add_image(
                 image_idx, f,
                 device_descriptors=dev[1] if dev else None,
@@ -824,7 +866,23 @@ class SequentialMapper:
             point_errors=np.asarray(info["point_errors"])
             if "point_errors" in info else None,
         )
+        if "cam_params" in info:
+            self._adopt_cam_params(np.asarray(info["cam_params"]))
         return info
+
+    def _adopt_cam_params(self, new_k):
+        """Self-calibration: adopt refined intrinsics (store + mapper) and
+        drop cached normalized coordinates computed with the old ones."""
+        new_k = new_k[: self.store.num_cameras]
+        if np.allclose(new_k, self.store.camera_params, rtol=0, atol=0):
+            return
+        self.store.camera_params[:] = new_k
+        for cam_idx, store_id in self._store_cam_ids.items():
+            self.cam_params[cam_idx] = new_k[store_id]
+        # Only normalized coordinates depend on intrinsics; device
+        # descriptors stay cached.
+        self._norm_cache.clear()
+        self._dev_norm_cache.clear()
 
     def adjust_bundle(
         self,
@@ -908,7 +966,7 @@ class SequentialMapper:
             with_pairs=len(sel_ids) < 64,
         )
         n_obs = len(obs_xy)
-        if async_ and not ba_options.refine_camera_params:
+        if async_:
             self._pending_ba = (
                 sel_ids, pids,
                 bundle_adjust_async(prob, ba_options, num_obs=n_obs),
@@ -922,14 +980,7 @@ class SequentialMapper:
             if "point_errors" in info else None,
         )
         if "cam_params" in info:
-            # Self-calibration: adopt refined intrinsics (store + mapper) and
-            # drop cached normalized coordinates computed with the old ones.
-            new_k = np.asarray(info["cam_params"])[: self.store.num_cameras]
-            self.store.camera_params[:] = new_k
-            for cam_idx, store_id in self._store_cam_ids.items():
-                self.cam_params[cam_idx] = new_k[store_id]
-            self._norm_cache.clear()
-            self._dev_cache.clear()
+            self._adopt_cam_params(np.asarray(info["cam_params"]))
         return info
 
     def adjust_global_bundle(self, ba_options=None, rot_priors=None,

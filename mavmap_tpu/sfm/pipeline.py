@@ -63,8 +63,11 @@ class PipelineOptions:
     ba_local_max_iters: int = 15
     ba_global_max_iters: int = 50
     verbose: bool = True
-    refine_camera_params: bool = False
-    local_ba_refine_camera_params: bool = False
+    # The reference refines intrinsics in EVERY bundle adjustment by
+    # default (mapper.cc:878-885) — both flags default true; the initial
+    # two-view bundle keeps refine off (mapper.cc:1059).
+    refine_camera_params: bool = True
+    local_ba_refine_camera_params: bool = True
     debug: bool = False
     debug_path: str = ""
 
@@ -121,7 +124,7 @@ def _local_ba(mapper, opts: PipelineOptions, rot_priors=None):
                              refine_camera_params=opts.local_ba_refine_camera_params),
         rot_priors=rot_priors if opts.constrain_rotation else None,
         rot_prior_weight=opts.constrain_rotation_weight,
-        async_=not opts.local_ba_refine_camera_params,
+        async_=True,  # selfcal dispatches async too (bundle_adjust_async)
     )
 
 

@@ -74,9 +74,14 @@ def test_pipeline_gcp_georegistration(rng):
             cps.append(ControlPoint(f"cp{k}", X.copy(), obs, fixed=(k < 4)))
     assert sum(c.fixed for c in cps) >= 3
 
+    # Self-calibration off: 6 images under-constrain the intrinsics and the
+    # drift shows up directly in the ABSOLUTE geo-registration error this
+    # test asserts (the test targets the GCP machinery, not selfcal).
     opts = PipelineOptions(verbose=False, use_control_points=True,
                            tri_min_angle=1.0, init_tri_min_angle=4.0,
-                           min_track_len=2, loop_detection=False)
+                           min_track_len=2, loop_detection=False,
+                           refine_camera_params=False,
+                           local_ba_refine_camera_params=False)
     res = run_pipeline(scene.image_cameras, scene.cam_models, scene.cam_params,
                        prov, opts, control_points=cps)
     m = res.main_mapper
