@@ -118,6 +118,10 @@ def build_parser():
     p.add_argument("--control-point-data-path", default=None)
     p.add_argument("--filter-max-error", type=float, default=0.0)
 
+    p.add_argument("--matcher-backend", default="auto",
+                   choices=("auto", "xla", "pallas"),
+                   help="descriptor-matcher kernel: auto = fused Pallas on "
+                        "TPU (128-aligned capacities), XLA elsewhere")
     p.add_argument("--quiet", action="store_true")
     p.add_argument("--debug", action="store_true",
                    help="print per-frame gate diagnostics")
@@ -271,6 +275,7 @@ def main(argv=None):
         process_prev_prev=args.process_prev_prev,
         verbose=not args.quiet,
         refine_camera_params=args.refine_camera_params,
+        matcher_backend=args.matcher_backend,
         debug=args.debug,
         debug_path=args.debug_path,
     )

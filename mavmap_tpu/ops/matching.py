@@ -107,6 +107,30 @@ def match_brute_force(
     return matches.astype(jnp.int32), ok
 
 
+def match_features(
+    d1, d2, mask1=None, mask2=None, kp1=None, kp2=None, ratio=0.9,
+    max_distance=None, backend="xla",
+):
+    """Backend dispatch for brute-force matching.
+
+    backend: 'xla' (fused by the XLA compiler, any shape) or 'pallas'
+    (hand-fused single-pass kernel, ops/pallas/match.py; requires N1 a
+    multiple of 128 and N2 a multiple of 128). Semantics are identical;
+    tests assert equality.
+    """
+    if backend == "pallas":
+        from .pallas.match import match_brute_force_pallas
+
+        return match_brute_force_pallas(
+            d1, d2, mask1, mask2, kp1, kp2, ratio=ratio,
+            max_distance=max_distance,
+        )
+    return match_brute_force(
+        d1, d2, mask1, mask2, kp1, kp2, ratio=ratio,
+        max_distance=max_distance,
+    )
+
+
 def median_feature_disparity(kp1, kp2, matches, valid):
     """Median keypoint displacement over matches (view-change gate).
 

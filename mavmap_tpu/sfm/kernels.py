@@ -38,7 +38,7 @@ class TwoViewResult(NamedTuple):
     depth2: jnp.ndarray
 
 
-@partial(jax.jit, static_argnames=("essential_trials", "hom_trials"))
+@partial(jax.jit, static_argnames=("essential_trials", "hom_trials", "matcher"))
 def two_view_init(
     key,
     kp1, desc1, mask1, n1,
@@ -48,6 +48,7 @@ def two_view_init(
     essential_trials: int = 512,
     hom_trials: int = 128,
     max_depth: float = 100.0,
+    matcher: str = "xla",
 ):
     """Fused: match + disparity + homography + 5pt-RANSAC + pose + triangulate.
 
@@ -56,9 +57,9 @@ def two_view_init(
     n1/n2 are normalized coords of the same rows.
     """
     F = kp1.shape[0]
-    matches, valid = matching.match_brute_force(
+    matches, valid = matching.match_features(
         desc1, desc2, mask1, mask2, kp1, kp2, ratio=ratio,
-        max_distance=max_distance,
+        max_distance=max_distance, backend=matcher,
     )
     num_matches = jnp.sum(valid)
     med_disp = matching.median_feature_disparity(kp1, kp2, matches, valid)
@@ -180,7 +181,8 @@ class RegisterResult(NamedTuple):
     new_depth_curr: jnp.ndarray
 
 
-@partial(jax.jit, static_argnames=("p3p_trials", "hom_trials", "refine_iters"))
+@partial(jax.jit, static_argnames=("p3p_trials", "hom_trials", "refine_iters",
+                                   "matcher"))
 def register_view(
     key,
     kp_prev, desc_prev, mask_prev, n_prev,
@@ -195,6 +197,7 @@ def register_view(
     p3p_trials: int = 512,
     hom_trials: int = 128,
     refine_iters: int = 30,
+    matcher: str = "xla",
 ):
     """Fused: match + gates + P3P RANSAC + LM pose refinement + track
     continuation checks + new-point triangulation.
@@ -202,9 +205,9 @@ def register_view(
     Device side of reference `process` (sequential_mapper.cc:389-934).
     """
     F = kp_prev.shape[0]
-    matches, valid = matching.match_brute_force(
+    matches, valid = matching.match_features(
         desc_prev, desc_curr, mask_prev, mask_curr, kp_prev, kp_curr,
-        ratio=ratio, max_distance=max_distance,
+        ratio=ratio, max_distance=max_distance, backend=matcher,
     )
     num_matches = jnp.sum(valid)
     med_disp = matching.median_feature_disparity(kp_prev, kp_curr, matches, valid)
@@ -313,7 +316,7 @@ def unpack_register(rows, scalars) -> RegisterResult:
     )
 
 
-@partial(jax.jit, static_argnames=("p3p_trials",))
+@partial(jax.jit, static_argnames=("p3p_trials", "matcher"))
 def register_view_batch(
     keys,
     kpp, desc_p, mask_p, np_,
@@ -323,6 +326,7 @@ def register_view_batch(
     kparams, model_code,
     ratio, max_distance, norm_threshold,
     p3p_trials: int = 500,
+    matcher: str = "xla",
 ):
     """register_view vmapped over a candidate axis: the per-candidate
     inputs (previous image's features/track state/pose, PRNG key) carry a
@@ -337,7 +341,7 @@ def register_view_batch(
             kp_curr, desc_c, mask_c, nc_,
             xyz1, ht1, st1, rv1, tv1,
             kparams, model_code, ratio, max_distance, norm_threshold,
-            p3p_trials=p3p_trials,
+            p3p_trials=p3p_trials, matcher=matcher,
         )
 
     return jax.vmap(one)(
@@ -346,7 +350,7 @@ def register_view_batch(
     )
 
 
-@partial(jax.jit, static_argnames=("p3p_trials",))
+@partial(jax.jit, static_argnames=("p3p_trials", "matcher"))
 def register_view_pairs(
     keys,
     kpp, desc_p, mask_p, np_,
@@ -356,6 +360,7 @@ def register_view_pairs(
     kparams, model_code,
     ratio, max_distance, norm_threshold,
     p3p_trials: int = 500,
+    matcher: str = "xla",
 ):
     """register_view vmapped over FULL pairs: BOTH sides carry a leading
     batch dim (unlike register_view_batch, which shares one current image).
@@ -370,7 +375,7 @@ def register_view_pairs(
             kpc1, dc1, mc1, nc1,
             xyz1, ht1, st1, rv1, tv1,
             kp_, code, ratio, max_distance, nt,
-            p3p_trials=p3p_trials,
+            p3p_trials=p3p_trials, matcher=matcher,
         )
 
     return jax.vmap(one)(

@@ -155,6 +155,17 @@ class SequentialMapper:
 
         return self._norm_cache.get_or(image_idx, make)
 
+    def _matcher_backend(self, options):
+        """Resolve options.matcher_backend: 'auto' = the fused Pallas
+        matcher on TPU when the provider capacity is 128-aligned (the
+        kernel's tile constraint), XLA elsewhere."""
+        b = getattr(options, "matcher_backend", "auto")
+        if b != "auto":
+            return b
+        if jax.default_backend() == "tpu" and self.provider.capacity % 128 == 0:
+            return "pallas"
+        return "xla"
+
     def _norm_threshold(self, px, image_idx):
         ci = self.image_cameras[image_idx]
         p = self.cam_params[ci]
@@ -268,6 +279,7 @@ class SequentialMapper:
             jnp.float32(nt),
             essential_trials=options.essential_ransac_trials,
             max_depth=options.max_depth,
+            matcher=self._matcher_backend(options),
         )
         # Two packed buffers -> two transfers (vs one RTT per output array).
         r = unpack_two_view(*jax.device_get((rows, scalars)))
@@ -367,6 +379,7 @@ class SequentialMapper:
             jnp.float32(options.match_max_distance if options.match_max_distance > 0 else 1e9),
             jnp.float32(nt),
             p3p_trials=options.p3p_ransac_trials,
+            matcher=self._matcher_backend(options),
         )
         # Pull the register result AND any pending async local-BA result in
         # ONE device_get: on a remote-attached TPU each blocking pull costs
@@ -644,6 +657,7 @@ class SequentialMapper:
                         if options.match_max_distance > 0 else 1e9),
             jnp.float32(nt),
             p3p_trials=options.p3p_ransac_trials,
+            matcher=self._matcher_backend(options),
         )
         rows, scalars = jax.device_get((rows, scalars))
         out = []
@@ -720,6 +734,7 @@ class SequentialMapper:
                         if options.match_max_distance > 0 else 1e9),
             jnp.asarray(nts, jnp.float32),
             p3p_trials=options.p3p_ransac_trials,
+            matcher=self._matcher_backend(options),
         )
         rows, scalars = jax.device_get((rows, scalars))
         out = []

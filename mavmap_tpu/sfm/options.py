@@ -28,3 +28,6 @@ class SequentialMapperOptions:
     p3p_ransac_trials: int = 512
     loop_detection_num_images: int = 30
     max_depth: float = 100.0                # cheirality depth bound
+    # Matcher backend: 'auto' picks the fused Pallas kernel on TPU when the
+    # feature capacity is 128-aligned, the XLA path otherwise.
+    matcher_backend: str = "auto"

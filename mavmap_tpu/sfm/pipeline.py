@@ -68,6 +68,7 @@ class PipelineOptions:
     # two-view bundle keeps refine off (mapper.cc:1059).
     refine_camera_params: bool = True
     local_ba_refine_camera_params: bool = True
+    matcher_backend: str = "auto"  # auto | xla | pallas
     debug: bool = False
     debug_path: str = ""
 
@@ -93,6 +94,7 @@ def _mapper_options(opts: PipelineOptions, initial=False, num_proc=1000000):
         p3p_ransac_trials=opts.p3p_ransac_trials,
         loop_detection_num_images=opts.loop_detection_num_images,
         min_track_len=mtl,
+        matcher_backend=opts.matcher_backend,
     )
 
 
