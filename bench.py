@@ -106,7 +106,8 @@ def main():
                 if len(window) > 2:
                     t0 = time.time()
                     info = m.adjust_bundle(window[2:], window[:2],
-                                           ba_options=ba_opts, async_=True)
+                                           ba_options=ba_opts, async_=True,
+                                           defer=True)
                     ba_time += time.time() - t0
                     ba_iters += int(info["iterations"]) if info else 0
         info = m.flush_ba()

@@ -4,7 +4,7 @@ TPU-native counterpart of reference src/base3d/p3p.{h,cc} (Gao et al.
 analytic P3P). This rebuild uses the classical Grunert law-of-cosines
 reduction (cf. Haralick et al. 1994 review): unknown depths s1, s2 = u s1,
 s3 = v s1 satisfy two quadratics in u with v-dependent coefficients; their
-resultant is a quartic in v, solved by the batched Durand-Kerner iteration.
+resultant is a quartic in v, solved in closed form (Ferrari, branch-free).
 Each real root yields camera-frame points and a rigid Umeyama fit gives the
 pose. All 4 candidates are returned with a validity mask; RANSAC scoring
 over all observations performs the disambiguation the reference does with
@@ -18,9 +18,8 @@ build the quartic; extra rows are ignored (they still vote in scoring).
 import jax
 import jax.numpy as jnp
 
-from .polynomial import roots_durand_kerner
+from .polynomial import solve_quartic_real
 from .projection import calc_reproj_errors
-from .similarity import solve_umeyama
 
 
 def _conv(p, q):
@@ -74,10 +73,10 @@ def solve_p3p(points2D, points3D):
         + jnp.pad(_conv(q1, _conv(dp, dp)), (0, 0))[:5]
     )
 
-    vr, vi = roots_durand_kerner(quartic, num_iters=40)  # (4,) roots in v
-    mag = jnp.sqrt(vr * vr + vi * vi)
-    real_mask = jnp.abs(vi) <= 1e-3 * jnp.maximum(mag, 1.0)
-    v = vr
+    # Closed-form Ferrari quartic: one fused elementwise block instead of
+    # 40 sequential Durand-Kerner steps (pure launch latency on TPU); the
+    # Newton polish below supplies the final accuracy either way.
+    v, real_mask = solve_quartic_real(quartic)  # (4,) roots in v
 
     # u via the linear elimination u = -dq(v) / dp(v).
     dq_v = dq[0] + dq[1] * v + dq[2] * v * v
@@ -115,9 +114,26 @@ def solve_p3p(points2D, points3D):
     # Camera-frame points and rigid alignment world -> camera.
     Xc = jnp.stack([s1, s2, s3], axis=-1)[..., None] * f[None, :, :]  # (4, 3, 3)
 
+    def triad(Q):
+        """Orthonormal frame from 3 points, columns of a 3x3 basis."""
+        e1 = Q[1] - Q[0]
+        e1 = e1 / jnp.maximum(jnp.linalg.norm(e1), 1e-12)
+        u = Q[2] - Q[0]
+        e2 = u - jnp.dot(u, e1) * e1
+        e2 = e2 / jnp.maximum(jnp.linalg.norm(e2), 1e-12)
+        e3 = jnp.cross(e1, e2)
+        return jnp.stack([e1, e2, e3], axis=-1)
+
+    # Rigid alignment of EXACTLY 3 corresponding points is closed-form:
+    # map the world triad onto the camera triad (no SVD — batched 3x3 SVD
+    # Umeyama was the latency hot spot of the whole P3P RANSAC on TPU; the
+    # reference uses Eigen's umeyama, p3p.cc:127-142, which is fine on CPU).
+    Bw = triad(P)
+
     def fit(Xc_i):
-        T = solve_umeyama(P, Xc_i, with_scale=False)
-        return T
+        R = triad(Xc_i) @ Bw.T
+        t = jnp.mean(Xc_i, axis=0) - R @ jnp.mean(P, axis=0)
+        return jnp.concatenate([R, t[:, None]], axis=-1)
 
     models = jax.vmap(fit)(Xc)  # (4, 3, 4)
     valid = valid & jnp.isfinite(models).all(axis=(1, 2))

@@ -123,6 +123,82 @@ def roots_durand_kerner(coeffs, num_iters=60):
     return zr * r, zi * r
 
 
+def solve_quartic_real(coeffs):
+    """Closed-form (Ferrari) real roots of a batch of quartics.
+
+    coeffs: (..., 5) ascending real coefficients. Returns (roots, mask),
+    each (..., 4): the real roots (garbage where mask is False) of
+    c4 x^4 + c3 x^3 + c2 x^2 + c1 x + c0.
+
+    Branch-free resolvent-cubic + two-quadratics factorization — ~40
+    elementwise ops total, no iteration. This replaces Durand-Kerner for
+    quartic minimal solvers (P3P): DK's fixed 40-iteration fori_loop is a
+    long chain of tiny sequential VPU ops, pure latency on TPU, while this
+    is one fused elementwise block. Callers that need tighter roots polish
+    with Newton on their original constraint system (ops/p3p.py does).
+    """
+    dtype = coeffs.dtype
+    lead = coeffs[..., 4:5]
+    lead = jnp.where(jnp.abs(lead) < 1e-30, 1e-30, lead)
+    monic = coeffs / lead
+
+    # Fujiwara scaling x = R u keeps intermediates O(1) in f32 (same
+    # rationale as roots_durand_kerner above).
+    kk = jnp.arange(1, 5).astype(dtype)
+    mags = jnp.abs(monic[..., :-1][..., ::-1])
+    R = 2.0 * jnp.max(jnp.maximum(mags, 1e-30) ** (1.0 / kk), axis=-1)
+    R = jnp.maximum(R, 1e-6)
+    powers = R[..., None] ** jnp.arange(-4, 1).astype(dtype)
+    u = monic * powers  # monic quartic in u
+
+    a, b, c, d = u[..., 3], u[..., 2], u[..., 1], u[..., 0]
+    # Depressed quartic y^4 + p y^2 + q y + r, x = y - a/4.
+    a2 = a * a
+    p = b - 0.375 * a2
+    q = c - 0.5 * a * b + 0.125 * a2 * a
+    r = d - 0.25 * a * c + 0.0625 * a2 * b - (3.0 / 256.0) * a2 * a2
+
+    # Resolvent cubic m^3 + e2 m^2 + e1 m + e0 = 0; its largest real root
+    # is >= 0 (value at 0 is -q^2/8 <= 0, +inf at +inf).
+    e2 = p
+    e1 = 0.25 * p * p - r
+    e0 = -0.125 * q * q
+    # Cardano: m = t - e2/3, t^3 + P t + Q = 0.
+    P = e1 - e2 * e2 / 3.0
+    Q = 2.0 * e2 * e2 * e2 / 27.0 - e2 * e1 / 3.0 + e0
+    half_q = 0.5 * Q
+    disc = half_q * half_q + (P / 3.0) ** 3
+
+    # disc >= 0: single real root via cbrt.
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    cbrt = lambda x: jnp.sign(x) * jnp.abs(x) ** (1.0 / 3.0)
+    t_single = cbrt(-half_q + sq) + cbrt(-half_q - sq)
+    # disc < 0: three real roots; the largest is 2 sqrt(-P/3) cos(phi/3).
+    mp3 = jnp.maximum(-P / 3.0, 1e-30)
+    smp3 = jnp.sqrt(mp3)
+    cosphi = jnp.clip(-half_q / jnp.maximum(smp3 ** 3, 1e-30), -1.0, 1.0)
+    t_triple = 2.0 * smp3 * jnp.cos(jnp.arccos(cosphi) / 3.0)
+    t = jnp.where(disc >= 0, t_single, t_triple)
+    m = jnp.maximum(t - e2 / 3.0, 0.0)
+
+    s = jnp.sqrt(2.0 * m)
+    qs = jnp.where(s > 1e-12, q / jnp.maximum(2.0 * s, 1e-30), 0.0)
+    B1 = 0.5 * p + m - qs  # factor y^2 + s y + B1
+    B2 = 0.5 * p + m + qs  # factor y^2 - s y + B2
+
+    d1 = s * s - 4.0 * B1
+    d2 = s * s - 4.0 * B2
+    sd1 = jnp.sqrt(jnp.maximum(d1, 0.0))
+    sd2 = jnp.sqrt(jnp.maximum(d2, 0.0))
+    y = jnp.stack([
+        0.5 * (-s + sd1), 0.5 * (-s - sd1),
+        0.5 * (s + sd2), 0.5 * (s - sd2),
+    ], axis=-1)
+    mask = jnp.stack([d1, d1, d2, d2], axis=-1) >= 0
+    roots = (y - 0.25 * a[..., None]) * R[..., None]
+    return roots, mask
+
+
 def real_roots_mask(roots_re, roots_im, imag_tol=1e-4):
     """Mask of roots that are (numerically) real, relative to their magnitude."""
     mag = jnp.sqrt(roots_re * roots_re + roots_im * roots_im)

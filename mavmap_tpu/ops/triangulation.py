@@ -10,16 +10,56 @@ Inputs are *normalized* image coordinates (after `models.image2world`).
 import jax.numpy as jnp
 
 
+def _det3(M):
+    """Batched 3x3 determinant, M: (..., 3, 3)."""
+    a, b, c = M[..., 0, 0], M[..., 0, 1], M[..., 0, 2]
+    d, e, f = M[..., 1, 0], M[..., 1, 1], M[..., 1, 2]
+    g, h, i = M[..., 2, 0], M[..., 2, 1], M[..., 2, 2]
+    return a * (e * i - f * h) - b * (d * i - f * g) + c * (d * h - e * g)
+
+
+def _cross4(M):
+    """4-D generalized cross product of 3 row vectors, M: (..., 3, 4).
+
+    Returns (..., 4) n with M @ n = 0 exactly (cofactor expansion)."""
+    cols = []
+    sign = 1.0
+    for j in range(4):
+        keep = [k for k in range(4) if k != j]
+        cols.append(sign * _det3(M[..., :, keep]))
+        sign = -sign
+    return jnp.stack(cols, axis=-1)
+
+
+def nullvec4(A):
+    """Approximate null vector of a near-rank-3 4x4 system, (..., 4, 4) ->
+    (..., 4). Closed form: the cofactor cross product of each row triple is
+    exactly orthogonal to those 3 rows; the max-norm candidate is the best
+    conditioned one. ~200 flops/point, fully fused elementwise — batched
+    4x4 SVD on TPU is an iterative Jacobi sweep costing milliseconds per
+    1k points. (Not eigh of A^T A either: squaring the condition number is
+    fatal in f32 for small-parallax pairs.)"""
+    triples = [(1, 2, 3), (0, 2, 3), (0, 1, 3), (0, 1, 2)]
+    cands = jnp.stack(
+        [_cross4(A[..., t, :]) for t in triples], axis=-2
+    )  # (..., 4cand, 4)
+    norms = jnp.sum(cands * cands, axis=-1)
+    best = jnp.argmax(norms, axis=-1)
+    return jnp.take_along_axis(
+        cands, best[..., None, None].astype(jnp.int32), axis=-2
+    )[..., 0, :]
+
+
 def triangulate_points(proj1, proj2, points1, points2):
     """Two-view DLT triangulation (Hartley-Zisserman).
 
     proj1, proj2: (..., 3, 4); points1, points2: (..., N, 2) normalized coords.
     Returns (..., N, 3) world points.
 
-    Builds the 4x4 homogeneous system [u*P3 - P1; v*P3 - P2] per view and
-    takes the right singular vector of the smallest singular value
-    (reference triangulation.cc:12-50 builds the equivalent 6x4 cross-product
-    system; the 4x4 form spans the same nullspace and is cheaper).
+    Builds the 4x4 homogeneous system [u*P3 - P1; v*P3 - P2] per view
+    (reference triangulation.cc:12-50 builds the equivalent 6x4
+    cross-product system) and takes its nullspace in closed form
+    (`nullvec4`).
     """
     rows = []
     for proj, pts in ((proj1, points1), (proj2, points2)):
@@ -31,10 +71,7 @@ def triangulate_points(proj1, proj2, points1, points2):
         rows.append(u * P3 - P1)  # (..., N, 4)
         rows.append(v * P3 - P2)
     A = jnp.stack(rows, axis=-2)  # (..., N, 4, 4)
-    # Nullspace via SVD of A (4x4, batched). Not eigh of A^T A — squaring
-    # the condition number is fatal in f32 for small-parallax pairs.
-    _, _, Vt = jnp.linalg.svd(A)
-    X = Vt[..., -1, :]  # right singular vector of smallest singular value
+    X = nullvec4(A)
     w = X[..., 3:4]
     safe_w = jnp.where(jnp.abs(w) < 1e-12, 1e-12, w)
     return X[..., :3] / safe_w

@@ -135,6 +135,33 @@ def two_view_init(
     return rows, scalars
 
 
+@partial(jax.jit, static_argnames=("essential_trials", "matcher"))
+def two_view_init_batch(
+    keys,
+    kp1, desc1, mask1, n1,
+    kp2s, desc2s, mask2s, n2s,
+    ratio, max_distance, norm_thresholds,
+    essential_trials: int = 512,
+    max_depth: float = 100.0,
+    matcher: str = "xla",
+):
+    """two_view_init vmapped over K candidate second images: the first
+    image is shared, candidates carry a leading batch dim. One device call
+    evaluates a whole sweep of the initial-pair search (the reference runs
+    a full sequential process_initial per candidate, mapper.cc:1027-1036).
+    """
+
+    def one(key, kp2, d2, m2, n2, nt):
+        return two_view_init(
+            key, kp1, desc1, mask1, n1, kp2, d2, m2, n2,
+            ratio, max_distance, nt,
+            essential_trials=essential_trials, max_depth=max_depth,
+            matcher=matcher,
+        )
+
+    return jax.vmap(one)(keys, kp2s, desc2s, mask2s, n2s, norm_thresholds)
+
+
 def unpack_two_view(rows, scalars) -> TwoViewResult:
     """Host-side unpacking of two_view_init's packed outputs (numpy in)."""
     import numpy as np

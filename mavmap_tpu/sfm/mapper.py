@@ -284,6 +284,13 @@ class SequentialMapper:
         # Two packed buffers -> two transfers (vs one RTT per output array).
         r = unpack_two_view(*jax.device_get((rows, scalars)))
 
+        return self._two_view_gates_and_commit(first_idx, second_idx, r,
+                                               options, debug=debug)
+
+    def _two_view_gates_and_commit(self, first_idx, second_idx, r, options,
+                                   debug=False):
+        """Host-side gates + commit of a two-view init result (reference
+        sequential_mapper.cc:100-386)."""
         num_matches = int(r.num_matches)
         if debug and self.debug_dumper is not None:
             # Reference dumps matches before/after RANSAC
@@ -340,6 +347,59 @@ class SequentialMapper:
         self.pair_graph.add((min(first_idx, second_idx), max(first_idx, second_idx)))
         return True
 
+    def process_initial_batch(self, first_idx, candidate_idxs,
+                              options: SequentialMapperOptions = None,
+                              debug=False):
+        """Try two-view initialization of `first_idx` against MANY candidate
+        second images in ONE vmapped device call; commit the first candidate
+        (in the given order) that passes all gates. Returns the committed
+        second index or -1.
+
+        The reference pays a full sequential process_initial per candidate
+        (mapper.cc:1027-1036)."""
+        from .kernels import two_view_init_batch
+
+        options = options or SequentialMapperOptions()
+        if self.num_proc_images > 0:
+            raise ValueError("initial processing can only be called once")
+        if not len(candidate_idxs):
+            return -1
+
+        # Bucket to power-of-two batch for jit cache reuse.
+        B = 1
+        while B < len(candidate_idxs):
+            B *= 2
+        padded = list(candidate_idxs) + [candidate_idxs[0]] * (B - len(candidate_idxs))
+
+        kp1, d1, m1, n1 = self._device_features(first_idx)
+        feats = [self._device_features(j) for j in padded]
+        nts = [self._norm_threshold(options.ransac_max_reproj_error, j)
+               for j in padded]
+        keys = jax.random.split(self._next_key(), B)
+        rows, scalars = two_view_init_batch(
+            keys, kp1, d1, m1, n1,
+            jnp.stack([f[0] for f in feats]),
+            jnp.stack([f[1] for f in feats]),
+            jnp.stack([f[2] for f in feats]),
+            jnp.stack([f[3] for f in feats]),
+            jnp.float32(options.match_max_ratio),
+            jnp.float32(options.match_max_distance
+                        if options.match_max_distance > 0 else 1e9),
+            jnp.asarray(nts, jnp.float32),
+            essential_trials=options.essential_ransac_trials,
+            max_depth=options.max_depth,
+            matcher=self._matcher_backend(options),
+        )
+        rows, scalars = jax.device_get((rows, scalars))
+        from .kernels import unpack_two_view
+
+        for k, j in enumerate(candidate_idxs):
+            r = unpack_two_view(rows[k], scalars[k])
+            if self._two_view_gates_and_commit(first_idx, j, r, options,
+                                               debug=debug):
+                return j
+        return -1
+
     # --------------------------------------------------------------- process
 
     def process(self, image_idx, prev_image_idx,
@@ -381,17 +441,26 @@ class SequentialMapper:
             p3p_trials=options.p3p_ransac_trials,
             matcher=self._matcher_backend(options),
         )
-        # Pull the register result AND any pending async local-BA result in
-        # ONE device_get: on a remote-attached TPU each blocking pull costs
-        # a full round-trip, and the BA solve is guaranteed finished (it was
-        # queued before this kernel on the in-order device stream).
+        # Overlap scheduling on the in-order device stream (transfers
+        # included): (1) enqueue the device->host copy of the register
+        # outputs IMMEDIATELY after the kernel — before anything else gets
+        # on the stream; (2) dispatch the DEFERRED local BA of the previous
+        # frame behind it, so the solve runs during the result's return
+        # trip and the host commit, and its values are pulled with the NEXT
+        # frame's kernel. Any already-pending solve was dispatched (and
+        # async-copied) one frame ago, so pulling it here costs nothing.
+        self._copy_async(r)
+        newly = self._dispatch_deferred_ba()
         pending = getattr(self, "_pending_ba", None)
         if pending is not None:
             packed, ba_vals = jax.device_get((r, pending[2].fut))
-            self.flush_ba(prefetched=ba_vals)
+            self._pending_ba = None
+            self._apply_ba(pending, prefetched=ba_vals)
             r = unpack_register(*packed)
         else:
             r = unpack_register(*jax.device_get(r))
+        if newly is not None:
+            self._pending_ba = newly
 
         if not self._register_gates(image_idx, prev_image_idx, r, options,
                                     debug=debug):
@@ -865,16 +934,9 @@ class SequentialMapper:
 
     # ------------------------------------------------------------- BA bridge
 
-    def flush_ba(self, prefetched=None):
-        """Apply a pending async local-BA result, if any.
-
-        prefetched: host values of the pending solve's `fut` when the
-        caller already pulled them in a batched device_get.
-        """
-        if getattr(self, "_pending_ba", None) is None:
-            return None
-        sel_ids, pids, finalize = self._pending_ba
-        self._pending_ba = None
+    def _apply_ba(self, pending, prefetched=None):
+        """Pull + apply one async BA handle (sel_ids, pids, finalize)."""
+        sel_ids, pids, finalize = pending
         new_poses, new_points, info = finalize(prefetched)
         self.apply_ba_result(
             sel_ids, np.asarray(new_poses), pids, np.asarray(new_points),
@@ -883,6 +945,49 @@ class SequentialMapper:
         )
         if "cam_params" in info:
             self._adopt_cam_params(np.asarray(info["cam_params"]))
+        return info
+
+    @staticmethod
+    def _copy_async(tree):
+        """Enqueue non-blocking device->host copies of a pytree's buffers.
+
+        On the in-order device stream a d2h copy executes behind every
+        program enqueued before the copy — issuing it eagerly keeps later
+        programs (the deferred BA solve) off the pull's critical path."""
+        for buf in jax.tree_util.tree_leaves(tree):
+            try:
+                buf.copy_to_host_async()
+            except AttributeError:
+                pass
+
+    def _dispatch_deferred_ba(self):
+        """Dispatch a deferred local-BA problem (built by adjust_bundle
+        with defer=True) and return its async handle, or None."""
+        deferred = getattr(self, "_deferred_ba", None)
+        if deferred is None:
+            return None
+        from ..ba import bundle_adjust_async
+
+        sel_ids, pids, prob, ba_options, n_obs = deferred
+        self._deferred_ba = None
+        handle = bundle_adjust_async(prob, ba_options, num_obs=n_obs)
+        self._copy_async(handle.fut)
+        return (sel_ids, pids, handle)
+
+    def flush_ba(self, prefetched=None):
+        """Make every in-flight/deferred BA result land in the store.
+
+        prefetched: host values of the PENDING solve's `fut` when the
+        caller already pulled them in a batched device_get.
+        """
+        info = None
+        if getattr(self, "_pending_ba", None) is not None:
+            pending = self._pending_ba
+            self._pending_ba = None
+            info = self._apply_ba(pending, prefetched)
+        newly = self._dispatch_deferred_ba()
+        if newly is not None:
+            info = self._apply_ba(newly)
         return info
 
     def _adopt_cam_params(self, new_k):
@@ -909,18 +1014,32 @@ class SequentialMapper:
         rot_prior_weight=0.0,
         gcp_point_ids=(),
         async_=False,
+        defer=False,
     ):
         """Bundle-adjust a subset of images (reference adjust_bundle,
         sequential_mapper.cc:1030-1158). Returns the BA info dict.
 
         rot_priors: optional {image_idx: rvec prior} for IMU constraints.
         gcp_point_ids: store point3D ids to pin.
+        defer (with async_): build the problem now but dispatch it only
+        after the NEXT frame's register kernel (process() does this), so
+        the register pull never waits behind the solve on the in-order
+        device stream. The solve then starts from store state that is one
+        local-BA flush staler — the windowed LM re-converges either way.
         """
         from ..ba import BAOptions, build_problem, bundle_adjust
         from ..ba import bundle_adjust_async
         from ..ba import BA_POSE_FIXED, BA_POSE_FIXED_X
 
-        self.flush_ba()  # results of a previous async solve land first
+        if async_ and defer:
+            # Don't block on the in-flight solve — but never hold TWO
+            # deferred problems (only possible if no process() ran in
+            # between; then the first must land before we snapshot state).
+            if getattr(self, "_deferred_ba", None) is not None:
+                newly = self._dispatch_deferred_ba()
+                self._apply_ba(newly)
+        else:
+            self.flush_ba()  # results of a previous async solve land first
         ba_options = ba_options or BAOptions()
         sel_idxs = list(free_image_idxs) + list(fixed_image_idxs) + list(fixed_x_image_idxs)
         sel_ids = [self.image_idx_to_id[i] for i in sel_idxs]
@@ -981,11 +1100,13 @@ class SequentialMapper:
             with_pairs=len(sel_ids) < 64,
         )
         n_obs = len(obs_xy)
+        if async_ and defer:
+            self._deferred_ba = (sel_ids, pids, prob, ba_options, n_obs)
+            return None
         if async_:
-            self._pending_ba = (
-                sel_ids, pids,
-                bundle_adjust_async(prob, ba_options, num_obs=n_obs),
-            )
+            handle = bundle_adjust_async(prob, ba_options, num_obs=n_obs)
+            self._copy_async(handle.fut)
+            self._pending_ba = (sel_ids, pids, handle)
             return None
         new_poses, new_points, info = bundle_adjust(prob, ba_options,
                                                     num_obs=n_obs)

@@ -127,6 +127,10 @@ def _local_ba(mapper, opts: PipelineOptions, rot_priors=None):
         rot_priors=rot_priors if opts.constrain_rotation else None,
         rot_prior_weight=opts.constrain_rotation_weight,
         async_=True,  # selfcal dispatches async too (bundle_adjust_async)
+        # Deferred dispatch: the solve enters the device stream only after
+        # the NEXT frame's register kernel, so the per-frame pull waits for
+        # the register program alone (solve results land one frame later).
+        defer=True,
     )
 
 
@@ -438,13 +442,21 @@ def run_pipeline(
                 success = mapper.process_initial(first_idx, second, init_opts, debug=opts.debug)
                 idx = max(first_idx, second)
             else:
+                # Batched sweeps: K candidate seconds per device call
+                # (reference tries one sequential process_initial per
+                # candidate, mapper.cc:1027-1036).
                 j = first_idx + 1
+                chunk = 2  # almost always succeeds immediately; escalate
                 while j <= end:
-                    if mapper.process_initial(first_idx, j, init_opts, debug=opts.debug):
+                    cands = list(range(j, min(j + chunk, end + 1)))
+                    sec = mapper.process_initial_batch(
+                        first_idx, cands, init_opts, debug=opts.debug)
+                    if sec >= 0:
                         success = True
-                        idx = j
+                        idx = sec
                         break
-                    j += 1
+                    j += len(cands)
+                    chunk = 8
             if not success:
                 if opts.verbose:
                     print(f"Failed to find initial pair from #{first_idx}")
