@@ -2,14 +2,23 @@
 
 TPU-native counterpart of reference src/loop/{detection,voc_tree_inv_file,
 voc_tree_database}.{h,cc}. The reference maintains block-chained posting
-lists with idf-weighted L2 scoring (voc_tree_inv_file.cc:86-328); here the
-database is a dense bag-of-words matrix (images x words, f32) and a query
-is ONE idf-weighted matmul — the "inverted file as masked matmul" design
-from SURVEY §7. Scores follow the reference's convention: 0 = identical,
-2 = orthogonal (squared L2 distance of L2-normalized tf-idf vectors,
+lists with idf-weighted L2 scoring (voc_tree_inv_file.cc:86-328). Here two
+score paths produce IDENTICAL rankings (tests assert equality):
+
+- dense: bag-of-words matrix (images x words, f32); a query is ONE
+  idf-weighted matmul — the "inverted file as masked matmul" design from
+  SURVEY §7. Optimal on the MXU for vocabularies up to ~64k words.
+- sparse: per-image posting lists (word-sorted arrays), vectorized numpy
+  slice-gather scoring touching only the query words' postings — O(total
+  postings) memory, the reference's own complexity
+  (voc_tree_inv_file.cc:169-328). Required for published ~1M-leaf trees,
+  where the dense matrix would cost 4 MB/image.
+
+Scores follow the reference's convention: 0 = identical, 2 = orthogonal
+(squared L2 distance of L2-normalized tf-idf vectors,
 voc_tree_inv_file.h:9-44).
 
-Capacity-bounded: the database grows in fixed increments to keep the
+Capacity-bounded: the dense database grows in fixed increments to keep the
 scoring matmul shape bucketed.
 """
 
@@ -20,13 +29,28 @@ import jax.numpy as jnp
 
 MAX_NUM_VISUAL_WORDS = 5000  # per image, reference sequential_mapper.h:53
 
+# Vocabularies up to this many words use the dense-matmul score path;
+# larger ones use posting lists (4 bytes/word/image vs 8 bytes/posting).
+DENSE_SCORE_MAX_WORDS = 1 << 16
+
 
 class LoopDetector:
-    def __init__(self, voc_tree, capacity_step=256):
+    def __init__(self, voc_tree, capacity_step=256, score_mode="auto"):
         self.voc_tree = voc_tree
         self.num_words = voc_tree.num_words
         self.capacity_step = capacity_step
-        self._bow = np.zeros((0, self.num_words), np.float32)  # raw tf counts
+        if score_mode == "auto":
+            score_mode = ("dense" if self.num_words <= DENSE_SCORE_MAX_WORDS
+                          else "sparse")
+        self.score_mode = score_mode
+        self._bow = np.zeros((0, self.num_words if score_mode == "dense"
+                              else 0), np.float32)  # raw tf counts (dense)
+        # Sparse inverted file: per-image (words, tf) postings accumulated
+        # in lists; concatenated + word-sorted lazily per query burst.
+        self._post_words = []   # list of (U,) int64 unique words per image
+        self._post_tfs = []     # list of (U,) f32 term frequencies
+        self._df = np.zeros(self.num_words, np.int32)  # document frequency
+        self._inv = None        # cached (sorted_words, img_ids, tfs)
         self._image_idxs = []
         self._idx_to_slot = {}
         # Forward file: per-image sorted unique visual words + the keypoint
@@ -132,13 +156,18 @@ class LoopDetector:
         for (image_idx, (f, _, _)), words in zip(items, words_all[:K0]):
             self._words_cache[image_idx] = words
             w = words[words >= 0]
-            bow = self._bow_of(w)
             slot = len(self._image_idxs)
-            if slot >= len(self._bow):
-                extra = np.zeros((self.capacity_step, self.num_words),
-                                 np.float32)
-                self._bow = np.concatenate([self._bow, extra], axis=0)
-            self._bow[slot] = bow
+            uw, tf = np.unique(w, return_counts=True)
+            self._post_words.append(uw.astype(np.int64))
+            self._post_tfs.append(tf.astype(np.float32))
+            self._df[uw] += 1
+            self._inv = None
+            if self.score_mode == "dense":
+                if slot >= len(self._bow):
+                    extra = np.zeros((self.capacity_step, self.num_words),
+                                     np.float32)
+                    self._bow = np.concatenate([self._bow, extra], axis=0)
+                self._bow[slot] = self._bow_of(w)
             self._idx_to_slot[image_idx] = slot
             self._image_idxs.append(image_idx)
             self._forward[image_idx] = self._quantize_with_coords(f, image_idx)
@@ -178,20 +207,67 @@ class LoopDetector:
         if n == 0:
             return np.zeros(0, np.int64), np.zeros(0, np.float32)
         words = self._quantize(features, image_idx)
-        qbow = self._bow_of(words)
-        db = self._bow[:n]
         if use_idf:
-            df = np.sum(db > 0, axis=0).astype(np.float32)
-            idf = np.log(np.maximum(n, 1) / np.maximum(df, 1.0)) + 1e-6
+            idf = (np.log(max(n, 1) / np.maximum(
+                self._df.astype(np.float32), 1.0)) + 1e-6).astype(np.float32)
         else:
             idf = np.ones(self.num_words, np.float32)
 
-        scores = np.asarray(
-            _score(jnp.asarray(qbow), jnp.asarray(db), jnp.asarray(idf))
-        )
+        if self.score_mode == "dense":
+            qbow = self._bow_of(words)
+            scores = np.asarray(
+                _score(jnp.asarray(qbow), jnp.asarray(self._bow[:n]),
+                       jnp.asarray(idf))
+            )
+        else:
+            scores = self._score_sparse(words, idf, n)
         k = min(num_images, n)
         top = np.argsort(scores)[:k]
         return np.asarray(self._image_idxs)[top], scores[top]
+
+    def _inverted(self):
+        """Word-sorted concatenated postings (words, image_slots, tfs)."""
+        if self._inv is None:
+            if self._post_words:
+                w = np.concatenate(self._post_words)
+                img = np.repeat(
+                    np.arange(len(self._post_words), dtype=np.int32),
+                    [len(x) for x in self._post_words])
+                tf = np.concatenate(self._post_tfs)
+                order = np.argsort(w, kind="stable")
+                self._inv = (w[order], img[order], tf[order])
+            else:
+                self._inv = (np.zeros(0, np.int64), np.zeros(0, np.int32),
+                             np.zeros(0, np.float32))
+        return self._inv
+
+    def _score_sparse(self, qwords, idf, n):
+        """Posting-list scoring: touches only the query words' postings
+        for the dot product (reference voc_tree_inv_file.cc:243-328); image
+        norms under the CURRENT idf are one vectorized pass over all
+        postings, so scores equal the dense path's (up to its bf16
+        matmul rounding)."""
+        inv_w, inv_img, inv_tf = self._inverted()
+        uw, qtf = np.unique(qwords, return_counts=True)
+        qv = qtf.astype(np.float32) * idf[uw]
+        qn = np.linalg.norm(qv)
+        qv = qv / max(qn, 1e-12)
+
+        vals = inv_tf * idf[inv_w]
+        norm2 = np.zeros(n, np.float32)
+        np.add.at(norm2, inv_img, vals * vals)
+
+        lo = np.searchsorted(inv_w, uw, side="left")
+        hi = np.searchsorted(inv_w, uw, side="right")
+        lens = hi - lo
+        # Flat posting indices of all query words: ranges [lo, hi) unrolled.
+        sel = np.repeat(lo, lens) + (
+            np.arange(lens.sum()) - np.repeat(np.cumsum(lens) - lens, lens)
+        )
+        qrep = np.repeat(qv, lens)
+        dot = np.zeros(n, np.float32)
+        np.add.at(dot, inv_img[sel], vals[sel] * qrep)
+        return 2.0 - 2.0 * dot / np.maximum(np.sqrt(norm2), 1e-12)
 
 
 @jax.jit

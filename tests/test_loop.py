@@ -134,3 +134,57 @@ def test_voctree_reference_binary_roundtrip(rng, tmp_path):
     # borderline descriptors; random unit vectors are near-worst-case).
     w0 = np.asarray(tree.quantize(q))
     assert (w0 == w1).mean() > 0.7
+
+
+def test_sparse_scoring_matches_dense(rng):
+    """Posting-list scoring == dense-matmul scoring (rankings identical,
+    scores equal up to the dense path's bf16 rounding)."""
+    train = _desc(rng, 4000)
+    tree = train_voc_tree(train, branching=4, depth=3, iters=4)
+    dense = LoopDetector(tree, score_mode="dense")
+    sparse = LoopDetector(tree, score_mode="sparse")
+
+    base = [_desc(rng, 150) for _ in range(10)]
+    for i, d in enumerate(base):
+        dense.add_image(i, _features(d))
+        sparse.add_image(i, _features(d))
+    q = base[3] + rng.normal(size=base[3].shape).astype(np.float32) * 0.02
+    q /= np.linalg.norm(q, axis=-1, keepdims=True)
+    for use_idf in (True, False):
+        i_d, s_d = dense.query(_features(q), num_images=10, use_idf=use_idf)
+        i_s, s_s = sparse.query(_features(q), num_images=10, use_idf=use_idf)
+        np.testing.assert_array_equal(i_d, i_s)
+        np.testing.assert_allclose(s_d, s_s, atol=2e-2)
+    assert i_s[0] == 3
+
+
+def test_sparse_scoring_large_vocabulary(rng):
+    """The sparse path must handle a ~1M-word vocabulary with O(postings)
+    memory (the reference's block-chained posting lists,
+    voc_tree_inv_file.cc:86-129; a dense BoW matrix would be 4 MB/image)."""
+
+    class BigTreeStub:
+        num_words = 1_000_000
+
+    det = LoopDetector(BigTreeStub(), score_mode="sparse")
+    n_img, n_feat = 20, 400
+    words = [rng.integers(0, BigTreeStub.num_words, size=n_feat)
+             for _ in range(n_img)]
+    words.append(words[7].copy())  # image 20 revisits image 7
+    # Register postings directly (the stub tree has no centroids to
+    # quantize with; this exercises the inverted-file scoring machinery).
+    for i, w in enumerate(words):
+        uw, tf = np.unique(w, return_counts=True)
+        det._post_words.append(uw.astype(np.int64))
+        det._post_tfs.append(tf.astype(np.float32))
+        det._df[uw] += 1
+        det._idx_to_slot[i] = i
+        det._image_idxs.append(i)
+    det._inv = None
+
+    det._words_cache[99] = words[7].astype(np.int64)
+    qf = _features(_desc(rng, 64))  # content unused: words come from cache
+    idxs, scores = det.query(qf, num_images=5, image_idx=99)
+    # Exact revisit of image 7's words: both 7 and 20 score ~0, first.
+    assert set(int(i) for i in idxs[:2]) == {7, 20}
+    assert scores[0] < 1e-3
