@@ -2,6 +2,7 @@
 
 from .core import (  # noqa: F401
     BAOptions,
+    DENSE_SOLVER_MAX_CAMERAS,
     BAProblem,
     BA_POSE_FREE,
     BA_POSE_FIXED,

@@ -49,6 +49,12 @@ BA_POSE_FIXED = 1
 BA_POSE_FIXED_X = 2
 
 
+# Camera-count cutoff between the exact dense Schur solve (materialized
+# (6I, 6I) system + pair list) and matrix-free Schur-CG. Single source of
+# truth for adjust_bundle / the pipeline's global BA / dist_bundle_adjust.
+DENSE_SOLVER_MAX_CAMERAS = 64
+
+
 @dataclass(frozen=True)
 class BAOptions:
     max_num_iterations: int = 50

@@ -29,7 +29,8 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ba.core import (
-    BAProblem, _all_residuals, _gather_dense_points, _scatter_dense_points,
+    BAProblem, DENSE_SOLVER_MAX_CAMERAS, _all_residuals,
+    _gather_dense_points, _scatter_dense_points,
     _assemble_blocks, _backsub_points, _lm_step_cg,
 )
 from ..ops.rotation import rotmat_from_rvec
@@ -60,32 +61,32 @@ def partition_problem(
     obs_uv = np.asarray(obs_uv, np.float32)
     P_n = len(points)
 
-    # Greedy balance points by observation count.
+    # Balance points over shards by observation count: snake assignment
+    # over the count-sorted order (0..S-1, S-1..0, ...) — O(P) vectorized;
+    # the previous greedy-argmin loop was ~1M numpy argmin calls per
+    # global BA at the 117k-point scale, for near-identical balance.
     pid_counts = np.bincount(obs_point, minlength=P_n)
     order = np.argsort(-pid_counts, kind="stable")
-    shard_load = np.zeros(num_shards, np.int64)
-    point_shard = np.zeros(P_n, np.int32)
-    for pid in order:
-        s = int(np.argmin(shard_load))
-        point_shard[pid] = s
-        shard_load[s] += pid_counts[pid] + 1
+    cyc = np.arange(P_n) % (2 * num_shards)
+    shard_of_rank = np.where(cyc < num_shards, cyc, 2 * num_shards - 1 - cyc)
+    point_shard = np.empty(P_n, np.int32)
+    point_shard[order] = shard_of_rank.astype(np.int32)
 
     # Permute points so each shard owns a contiguous block of equal size.
-    per_shard = int(np.max(np.bincount(point_shard, minlength=num_shards)))
+    counts = np.bincount(point_shard, minlength=num_shards)
+    per_shard = int(counts.max()) if P_n else 1
+    grouped = np.argsort(point_shard, kind="stable")  # pids grouped by shard
+    offsets = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    pos_in_shard = np.arange(P_n) - offsets[point_shard[grouped]]
+    rows = point_shard[grouped].astype(np.int64) * per_shard + pos_in_shard
     new_index = np.full(P_n, -1, np.int64)
+    new_index[grouped] = rows
     new_points = np.zeros((num_shards * per_shard, 3), np.float32)
+    new_points[new_index] = points
     new_point_fixed = np.ones(num_shards * per_shard, bool)  # padding fixed
-    fill = np.zeros(num_shards, np.int64)
-    for pid in range(P_n):
-        s = point_shard[pid]
-        row = s * per_shard + fill[s]
-        fill[s] += 1
-        new_index[pid] = row
-        new_points[row] = points[pid]
-        if point_fixed is not None:
-            new_point_fixed[row] = point_fixed[pid]
-        else:
-            new_point_fixed[row] = False
+    new_point_fixed[new_index] = (
+        point_fixed if point_fixed is not None else False
+    )
 
     # Group observations per shard, padded to a common length.
     obs_shard = point_shard[obs_point]
@@ -227,7 +228,8 @@ def dist_bundle_adjust(mesh, stacked_prob: BAProblem, scale=1.0,
     if solver == "auto":
         npairs = stacked_prob.pair_a.shape[-1]
         ncams = stacked_prob.poses.shape[-2]
-        solver = "cg" if (npairs == 0 or ncams >= 64) else "dense"
+        solver = ("cg" if (npairs == 0 or ncams >= DENSE_SOLVER_MAX_CAMERAS)
+                  else "dense")
 
     def shard_fn(prob_local):
         # prob_local: leading shard axis of size 1 for per-shard arrays.

@@ -901,25 +901,43 @@ class SequentialMapper:
             new_id = self._add_image_to_store(idx)
             self.store.set_pose(new_id, np.asarray(nrv), np.asarray(ntv))
 
-        # Clone other's tracks (transformed points).
+        # Clone other's tracks (transformed points) in BULK: one p2d-id
+        # translation table (other store rows -> this store rows; both
+        # mappers share the feature provider, so row r of an image is the
+        # same keypoint in both), then every track's consecutive-pair
+        # chain in ONE native add_correspondences call — the per-
+        # observation Python/ctypes loop cost seconds when merging large
+        # sub-maps.
         xyz_all = np.asarray(
             transform_points(T, jnp.asarray(other.store.point3D_xyz, jnp.float32))
         )
+        other.store.sync()
+        trans = np.full(other.store.num_points2D, -1, np.int64)
+        for idx in other_idxs:
+            oid = other.image_idx_to_id[idx]
+            my_id = self.image_idx_to_id[idx]
+            trans[other.store.point2D_ids_of_image(oid)] = (
+                self.store.point2D_ids_of_image(my_id)
+            )
+        pairs_a, pairs_b, track_pids = [], [], []
         for pid, track in other.store.tracks.items():
             if not other.store.point3D_valid[pid] or len(track) < 2:
                 continue
-            obs = []
-            for p2d in track:
-                o_img_id = int(other.store.point2D_image[p2d])
-                o_start, _ = other.store.image_point2D_start[o_img_id]
-                row = int(p2d) - o_start
-                idx = other.image_id_to_idx[o_img_id]
-                my_id = self.image_idx_to_id[idx]
-                obs.append(self.store.point2D_ids_of_image(my_id)[row])
-            new_pid = None
-            for a, b in zip(obs[:-1], obs[1:]):
-                new_pid = self.store.add_correspondence(a, b)
-            if new_pid is not None and other.store.point3D_tri[pid]:
+            arr = trans[np.asarray(track, np.int64)]
+            pairs_a.append(arr[:-1])
+            pairs_b.append(arr[1:])
+            track_pids.append(pid)
+        if pairs_a:
+            new_pids = self.store.add_correspondences_bulk(
+                np.concatenate(pairs_a), np.concatenate(pairs_b)
+            )
+            # Surviving pid of each cloned track = its LAST pair's result.
+            last = np.cumsum([len(x) for x in pairs_a]) - 1
+            self.store.sync()
+            for pid, k in zip(track_pids, last):
+                if not other.store.point3D_tri[pid]:
+                    continue
+                new_pid = int(new_pids[k])
                 valid, tri = self.store.point3D_status(new_pid)
                 if valid and not tri:
                     self.store.set_point3D(new_pid, xyz_all[pid])
@@ -1028,7 +1046,7 @@ class SequentialMapper:
         local-BA flush staler — the windowed LM re-converges either way.
         """
         from ..ba import BAOptions, build_problem, bundle_adjust
-        from ..ba import bundle_adjust_async
+        from ..ba import bundle_adjust_async, DENSE_SOLVER_MAX_CAMERAS
         from ..ba import BA_POSE_FIXED, BA_POSE_FIXED_X
 
         if async_ and defer:
@@ -1097,7 +1115,7 @@ class SequentialMapper:
             # Large (global) problems solve the reduced camera system with
             # matrix-free Schur CG — skip the O(sum track_len^2) pair
             # enumeration entirely (it dominates host time and HBM there).
-            with_pairs=len(sel_ids) < 64,
+            with_pairs=len(sel_ids) < DENSE_SOLVER_MAX_CAMERAS,
         )
         n_obs = len(obs_xy)
         if async_ and defer:
