@@ -49,7 +49,9 @@ def main():
         tri_min_angle=4.0, final_cost_threshold=2.0,
         essential_ransac_trials=512, p3p_ransac_trials=512,
     )
-    ba_opts = BAOptions(max_num_iterations=10)
+    # Reference-default configuration: intrinsics refined in every local
+    # BA (mapper.cc:878-885 defaults refine-camera-params true).
+    ba_opts = BAOptions(max_num_iterations=10, refine_camera_params=True)
 
     def measure_ba_iter():
         """Dedicated BA timing: one representative local-window problem,

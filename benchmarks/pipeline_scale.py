@@ -1,35 +1,43 @@
-"""Scratch: 500-image survey end-to-end on one TPU chip."""
+"""Long-survey end-to-end benchmark on one TPU chip.
+
+Usage: python benchmarks/pipeline_scale.py [num_images] [rows] [sweeps]
+Defaults: 500 10 1. Prints registration rate, fps, sub-map count, points,
+and ATE vs the synthetic ground truth.
+"""
+import sys
 import time
 import numpy as np
-import jax.numpy as jnp
 from mavmap_tpu.features import ArrayFeatureProvider
 from mavmap_tpu.loop import train_voc_tree
 from mavmap_tpu.sfm.pipeline import PipelineOptions, run_pipeline
-from mavmap_tpu.utils.synthetic import ate_rmse, make_uav_scene, render_features
-from mavmap_tpu.ops.rotation import rotmat_from_rvec
+from mavmap_tpu.utils.synthetic import make_uav_scene, render_features, mapper_ate
+
+N = int(sys.argv[1]) if len(sys.argv) > 1 else 500
+ROWS = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+SWEEPS = int(sys.argv[3]) if len(sys.argv) > 3 else 1
 
 t0 = time.time()
-scene = make_uav_scene(num_images=500, num_points=60000, relief=10.0, rows=10, extent=None, seed=13)
+scene = make_uav_scene(num_images=N, num_points=120 * N, relief=10.0,
+                       rows=ROWS, extent=None, seed=13)
 feats, _ = render_features(scene, pixel_noise=0.3, clutter=32, seed=13)
 cap = 1024
 feats = [(k[:cap], d[:cap]) for k, d in feats]
 prov = ArrayFeatureProvider(feats, capacity=cap)
 desc = np.concatenate([d for _, d in feats[::10]])
 rng = np.random.default_rng(0)
-tree = train_voc_tree(desc[rng.permutation(len(desc))[:8000]], branching=8, depth=2, iters=3)
+tree = train_voc_tree(desc[rng.permutation(len(desc))[:8000]], branching=8,
+                      depth=2, iters=3)
 print(f"scene+features in {time.time()-t0:.0f}s", flush=True)
 opts = PipelineOptions(verbose=False, tri_min_angle=1.0, init_tri_min_angle=4.0,
-                       min_track_len=2, loop_detection_period=20)
-for tag in ("cold",):
-    t0 = time.time()
-    res = run_pipeline(scene.image_cameras, scene.cam_models, scene.cam_params,
-                       prov, opts, voc_tree=tree)
-    el = time.time() - t0
-    m = res.main_mapper
-    from mavmap_tpu.utils.synthetic import mapper_ate
-
-    ate = mapper_ate(m, scene)
-    npts = int(m.store.point3D_valid.sum())
-    print(f"{tag}: {m.num_proc_images}/500 in {el:.1f}s "
-          f"({m.num_proc_images/el:.2f} fps), maps={len(res.mappers)}, "
-          f"points={npts}, ATE={ate:.4f} m", flush=True)
+                       min_track_len=2, loop_detection_period=20,
+                       final_closure_sweeps=SWEEPS)
+t0 = time.time()
+res = run_pipeline(scene.image_cameras, scene.cam_models, scene.cam_params,
+                   prov, opts, voc_tree=tree)
+el = time.time() - t0
+m = res.main_mapper
+ate = mapper_ate(m, scene)
+npts = int(m.store.point3D_valid.sum())
+print(f"N={N} sweeps={SWEEPS}: {m.num_proc_images}/{N} in {el:.1f}s "
+      f"({m.num_proc_images/el:.2f} fps), maps={len(res.mappers)}, "
+      f"points={npts}, ATE={ate:.4f} m", flush=True)

@@ -648,7 +648,9 @@ def _lm_step(prob: BAProblem, poses, points_d, lam, scale, backend="xla"):
     contrib = jnp.einsum("qij,qkj->qik", Ta, Gb)  # (Q, 6, 6)
     contrib = jnp.where(prob.pair_mask[:, None, None], contrib, 0.0)
     pair_blk = prob.obs_image[prob.pair_a] * I + prob.obs_image[prob.pair_b]
-    S_off = jax.ops.segment_sum(contrib, pair_blk, num_segments=I * I)
+    # One-hot MXU reduction: a raw scatter-add over the pair list was the
+    # dominant cost of the whole dense step on TPU (unsorted scatter).
+    S_off = _seg_ids(pair_blk, contrib, I * I, backend)
     S = jnp.zeros((I, I, 6, 6)).at[jnp.arange(I), jnp.arange(I)].set(U)
     S = S - S_off.reshape(I, I, 6, 6)
 
@@ -920,32 +922,38 @@ def _lm_step_selfcal(prob: BAProblem, poses, points_d, cam_params, cam_free,
         backend=backend,
     )
 
-    # Full direct Hessian: all entry pairs within one observation.
-    H = jnp.zeros((B * B, 9, 9))
+    # Full direct Hessian: all entry pairs within one observation — the 4
+    # entry combinations fused into ONE one-hot reduction (4O rows).
+    h_ids = []
+    h_vals = []
     for a in range(2):
         for b in range(2):
-            contrib = cm.stack_cols_wide(
+            h_vals.append(cm.stack_cols_wide(
                 cm.jtwj_cols(Ecols[a], Ecols[b], w)
-            ).reshape(-1, 9, 9)
-            H = H + _seg_ids(
-                blk[:, a] * B + blk[:, b], contrib, B * B, backend
-            )
+            ).reshape(-1, 9, 9))
+            h_ids.append(blk[:, a] * B + blk[:, b])
+    H = _seg_ids(jnp.concatenate(h_ids), jnp.concatenate(h_vals), B * B,
+                 backend)
     H = H.reshape(B, B, 9, 9)
     H = H.at[jnp.arange(I), jnp.arange(I)].add(Ur9)
 
-    # Schur off-diagonal over co-observation pairs x 4 entry combos.
+    # Schur off-diagonal over co-observation pairs x 4 entry combos, also
+    # fused into one one-hot MXU reduction (a raw scatter-add here was the
+    # dominant cost of the whole selfcal step on TPU).
     G2 = [cm.stack_cols_wide(Gcols[a]) for a in range(2)]  # (O, 27)
     T2 = [cm.stack_cols_wide(Tcols[a]) for a in range(2)]
-    S_off = jnp.zeros((B * B, 9, 9))
+    s_ids = []
+    s_vals = []
     for a in range(2):
+        Ta = T2[a][prob.pair_a].reshape(-1, 9, 3)
         for b in range(2):
-            Ta = T2[a][prob.pair_a].reshape(-1, 9, 3)
             Gb = G2[b][prob.pair_b].reshape(-1, 9, 3)
             contrib = jnp.einsum("qij,qkj->qik", Ta, Gb)
             contrib = jnp.where(prob.pair_mask[:, None, None], contrib, 0.0)
-            pair_blk = blk[prob.pair_a, a] * B + blk[prob.pair_b, b]
-            S_off = S_off + jax.ops.segment_sum(contrib, pair_blk,
-                                                num_segments=B * B)
+            s_ids.append(blk[prob.pair_a, a] * B + blk[prob.pair_b, b])
+            s_vals.append(contrib)
+    S_off = _seg_ids(jnp.concatenate(s_ids), jnp.concatenate(s_vals),
+                     B * B, backend)
 
     S = H - S_off.reshape(B, B, 9, 9)
     # Marquardt damping on the diagonal blocks (diag of the UNDAMPED H).
@@ -1111,6 +1119,8 @@ def total_cost_selfcal(prob: BAProblem, poses, points, cam_params, scale):
     )
 
 
+@partial(jax.jit, static_argnames=("max_iters", "solver", "cg_max_iters",
+                                   "backend"))
 @partial(jax.jit, static_argnames=("max_iters", "solver", "cg_max_iters",
                                    "backend"))
 def _lm_loop_selfcal(prob: BAProblem, cam_free, scale, lambda_init, lambda_up,

@@ -111,6 +111,12 @@ def build_parser():
     p.add_argument("--no-merge", action="store_true",
                    help="do not merge separate sub-maps")
     p.add_argument("--no-loop-detection", action="store_true")
+    p.add_argument("--final-closure-sweeps", type=int, default=1,
+                   help="post-global-BA rounds of non-neighborhood closure "
+                        "sweeping + re-BA (0 disables; beyond reference — "
+                        "attacks long-survey drift)")
+    p.add_argument("--final-closure-step", type=int, default=4,
+                   help="query every Nth registered image in a closure sweep")
     p.add_argument("--process-prev-prev", action="store_true")
 
     # Constraints (mapper.cc:871-899).
@@ -260,6 +266,8 @@ def main(argv=None):
         loop_detection_num_nh_images=args.loop_detection_num_nh_images,
         loop_detection_nh_dist=args.loop_detection_nh_dist,
         merge=not args.no_merge,
+        final_closure_sweeps=args.final_closure_sweeps,
+        final_closure_step=args.final_closure_step,
         merge_num_skip_images=args.merge_num_skip_images,
         min_track_len=args.min_track_len,
         final_cost_threshold=args.final_cost_threshold,

@@ -69,6 +69,16 @@ class PipelineOptions:
     refine_camera_params: bool = True
     local_ba_refine_camera_params: bool = True
     matcher_backend: str = "auto"  # auto | xla | pallas
+    # Post-pass closure sweeps (beyond the reference): after the first
+    # global BA, query every `final_closure_step`-th registered image for
+    # NON-neighborhood loop closures (batched candidate registration) and
+    # re-run global BA; repeat up to `final_closure_sweeps` rounds or until
+    # a sweep adds nothing. Attacks long-survey drift: the in-sequence
+    # periodic detection only closes loops at the moment a row is revisited
+    # with still-drifted poses, while this sweep matches against the
+    # globally-adjusted map.
+    final_closure_sweeps: int = 1
+    final_closure_step: int = 4
     debug: bool = False
     debug_path: str = ""
 
@@ -132,6 +142,33 @@ def _local_ba(mapper, opts: PipelineOptions, rot_priors=None):
         # the register program alone (solve results land one frame later).
         defer=True,
     )
+
+
+def _final_closure_sweeps(mapper, opts: PipelineOptions, rot_priors=None):
+    """Post-global-BA closure densification (see PipelineOptions fields).
+
+    Returns the total number of closures added across rounds."""
+    if mapper.loop_detector is None or mapper.num_proc_images < 3:
+        return 0
+    total = 0
+    for _ in range(opts.final_closure_sweeps):
+        added = 0
+        seq = _mapper_options(opts, num_proc=mapper.num_proc_images)
+        reg = sorted(mapper.image_idx_to_id.keys())
+        for idx in reg[:: max(opts.final_closure_step, 1)]:
+            added += mapper.detect_loop(
+                idx, num_images=opts.loop_detection_num_images,
+                num_nh_images=0,  # cross-survey (non-neighborhood) only
+                nh_distance=opts.loop_detection_nh_dist,
+                options=seq)
+        if added == 0:
+            break
+        if opts.verbose:
+            print(f"Closure sweep added {added} closures; re-running "
+                  f"global BA")
+        _global_ba(mapper, opts, rot_priors)
+        total += added
+    return total
 
 
 def _global_ba(mapper, opts: PipelineOptions, rot_priors=None,
@@ -544,6 +581,10 @@ def run_pipeline(
         for m in mappers:
             process_remaining_images(m, start, end, opts)
             _global_ba(m, opts, rot_priors)
+
+    if opts.loop_detection and opts.final_closure_sweeps > 0:
+        for m in mappers:
+            _final_closure_sweeps(m, opts, rot_priors)
 
     cp_results = None
     main = max(mappers, key=lambda m: m.num_proc_images) if mappers else None

@@ -300,3 +300,48 @@ def test_batched_backfill(rng):
     n = process_remaining_images(m, 0, 7, opts)
     assert n >= 4  # 1, 3, 5, 7 filled
     assert m.num_proc_images >= 7
+
+
+def test_cli_from_real_photo_textures(rng, tmp_path):
+    """PIXELS -> POSES on REAL photographic content: the terrain texture is
+    a collage of real photographs (sklearn/matplotlib sample images) draped
+    over a height field; the CLI runs the on-device detector on the
+    rendered views and recovers the trajectory. Real image statistics
+    (natural gradients, JPEG noise) through detector + matcher + mapper —
+    as close to real aerial imagery as a zero-egress container gets."""
+    import pytest
+    from PIL import Image
+    from mavmap_tpu.cli import main as cli_main
+    from mavmap_tpu.utils.synthetic import (ate_rmse, render_photo_survey,
+                                            sample_photo_paths)
+
+    if not sample_photo_paths():
+        pytest.skip("no bundled sample photographs in this environment")
+    scene = make_uav_scene(num_images=6, num_points=10, relief=10.0,
+                           rows=1, seed=23)
+    imgs = render_photo_survey(scene, relief_amp=4.0, seed=23)
+    data = tmp_path / "data"
+    out = tmp_path / "out"
+    data.mkdir()
+    lines = ["# imagedata"]
+    for i, im in enumerate(imgs):
+        Image.fromarray(im).save(data / f"img{i}.png")
+        cam_def = ", 1, PINHOLE, 700.0, 700.0, 400.0, 300.0" if i == 0 else ""
+        lines.append(f"img{i}, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0{cam_def}")
+    (data / "imagedata.txt").write_text("\n".join(lines) + "\n")
+
+    rc = cli_main([
+        "--input-path", str(data), "--output-path", str(out),
+        "--max-features", "1024", "--min-track-len", "2",
+        "--tri-min-angle", "1.0", "--init-tri-min-angle", "2.0",
+        "--ransac-min-inlier-threshold", "15",
+        "--surf-hessian-threshold", "600", "--quiet",
+    ])
+    assert rc == 0
+    content = (out / "imagedataout.txt").read_text().splitlines()
+    rows = [l.split(",") for l in content if not l.startswith("#")]
+    assert len(rows) >= 5  # at least 5/6 frames registered from pixels
+    est = np.array([[float(r[8]), float(r[9]), float(r[10])] for r in rows])
+    idxs = [int(r[0].strip()[3:]) for r in rows]
+    ate = ate_rmse(est, scene.camera_centers()[idxs])
+    assert ate < 1.0  # meters at 30 m altitude
