@@ -41,3 +41,6 @@ npts = int(m.store.point3D_valid.sum())
 print(f"N={N} sweeps={SWEEPS}: {m.num_proc_images}/{N} in {el:.1f}s "
       f"({m.num_proc_images/el:.2f} fps), maps={len(res.mappers)}, "
       f"points={npts}, ATE={ate:.4f} m", flush=True)
+if res.timings:
+    print("stages: " + " | ".join(f"{k} {v:.1f}s"
+                                  for k, v in res.timings.items()), flush=True)

@@ -117,11 +117,20 @@ class LoopDetector:
             return
         self._pending[image_idx] = (features, device_descriptors, device_mask)
 
+    # Fixed quantization batch: every flush compiles to the SAME executable
+    # (dynamic power-of-two buckets made each new pending-set size pay a
+    # fresh multi-second XLA compile of the batched tree descent).
+    FLUSH_CHUNK = 32
+
     def _flush_pending(self):
         if not self._pending:
             return
-        items = sorted(self._pending.items())
+        all_items = sorted(self._pending.items())
         self._pending = {}
+        for c0 in range(0, len(all_items), self.FLUSH_CHUNK):
+            self._flush_chunk(all_items[c0:c0 + self.FLUSH_CHUNK])
+
+    def _flush_chunk(self, items):
         on_device = all(d is not None for _, (_, d, m) in items)
         if on_device:
             descs = jnp.stack([d[:MAX_NUM_VISUAL_WORDS]
@@ -137,12 +146,9 @@ class LoopDetector:
             masks = np.stack([f.mask[: MAX_NUM_VISUAL_WORDS]
                               for _, (f, _, _) in items])
             xp = np
-        # Bucket the batch (pad with masked rows) so repeat flushes hit the
-        # jit cache.
+        # Pad to the fixed chunk with masked rows.
         K0 = len(items)
-        K = 1
-        while K < K0:
-            K *= 2
+        K = self.FLUSH_CHUNK
         if K > K0:
             descs = xp.concatenate(
                 [descs, xp.zeros((K - K0,) + descs.shape[1:], descs.dtype)])

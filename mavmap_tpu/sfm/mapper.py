@@ -604,7 +604,9 @@ class SequentialMapper:
         if not len(cand_idxs):
             return np.zeros(0, np.int64)
         kpq, dq, mq, _ = self._device_features(image_idx)
-        B = int(np.ceil(len(cand_idxs) / 8)) * 8
+        # Fixed batch of 32 (loop-detection queries return <= ~30): ONE
+        # compiled executable instead of one per batch-size bucket.
+        B = int(np.ceil(len(cand_idxs) / 32)) * 32
         rows = list(cand_idxs) + [cand_idxs[0]] * (B - len(cand_idxs))
         dstack = jnp.stack([self._device_features(i)[1] for i in rows])
         mstack = jnp.stack([self._device_features(i)[2] for i in rows])
@@ -694,10 +696,17 @@ class SequentialMapper:
         from .kernels import register_view_batch
 
         self.flush_ba()  # registration anchors on post-BA poses/points
-        # Bucket the batch to powers-of-two-ish sizes for jit cache reuse.
-        B = 1
-        while B < len(cand_idxs):
-            B *= 2
+        # Fixed batch of 8, chunked: every call hits the SAME compiled
+        # executable (power-of-two buckets paid a fresh ~10 s XLA compile
+        # per new size; candidate counts vary call to call).
+        CH = 8
+        if len(cand_idxs) > CH:
+            out = []
+            for k in range(0, len(cand_idxs), CH):
+                out.extend(self._batch_register_candidates(
+                    image_idx, cand_idxs[k:k + CH], options))
+            return out
+        B = CH
         padded = list(cand_idxs) + [cand_idxs[0]] * (B - len(cand_idxs))
 
         states = [self._prev_track_state(i, options) for i in padded]
@@ -752,18 +761,17 @@ class SequentialMapper:
         # anchors on store poses/points (process() flushes on every pull;
         # this path must uphold the same invariant).
         self.flush_ba()
-        # Chunk: B vmapped register kernels hold B full match matrices in
-        # HBM; 32 is comfortably inside one v5e chip.
-        MAX_B = 32
+        # Fixed chunk of 8: one compiled executable for every sweep (also
+        # bounds HBM — B vmapped register kernels hold B full match
+        # matrices).
+        MAX_B = 8
         if len(pairs) > MAX_B:
             out = []
             for k in range(0, len(pairs), MAX_B):
                 out.extend(self.batch_register_pairs(pairs[k:k + MAX_B],
                                                      options))
             return out
-        B = 1
-        while B < len(pairs):
-            B *= 2
+        B = MAX_B
         # Host work only for the REAL pairs; pad the stacked arrays by
         # repeating row 0 (discarded at commit).
         n_real = len(pairs)

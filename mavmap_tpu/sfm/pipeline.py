@@ -113,6 +113,7 @@ class PipelineResult:
     mappers: list
     records: list = None
     control_point_results: list = None
+    timings: dict = None  # per-stage wall seconds
 
     @property
     def main_mapper(self):
@@ -468,6 +469,24 @@ def run_pipeline(
     num_skipped = 0
     count_since_loop = 0
 
+    # Per-stage wall clocks (reference prints per-frame + total timings,
+    # mapper.cc:1181,1252-1257); returned in PipelineResult.timings.
+    import time as _time
+
+    timings = {}
+
+    def _stage(name):
+        class _T:
+            def __enter__(self):
+                self.t0 = _time.perf_counter()
+
+            def __exit__(self, *a):
+                timings[name] = timings.get(name, 0.0) + (
+                    _time.perf_counter() - self.t0)
+
+        return _T()
+
+    t_seq0 = _time.perf_counter()
     idx = image_idx
     while idx <= end:
         if mapper.num_proc_images == 0:
@@ -568,34 +587,49 @@ def run_pipeline(
             else:
                 idx += 1
 
+    timings["sequential_loop"] = _time.perf_counter() - t_seq0
+
     # Post-pass (mapper.cc:1188-1209).
-    for m in mappers:
-        if m.num_proc_images == 0:
-            continue
-        process_remaining_images(m, start, end, opts)
-        _global_ba(m, opts, rot_priors)
+    with _stage("backfill"):
+        for m in mappers:
+            if m.num_proc_images == 0:
+                continue
+            process_remaining_images(m, start, end, opts)
+    with _stage("global_ba"):
+        for m in mappers:
+            if m.num_proc_images:
+                _global_ba(m, opts, rot_priors)
 
     mappers = [m for m in mappers if m.num_proc_images > 0]
     if len(mappers) > 1 and opts.merge:
-        mappers = merge_mappers(mappers, opts)
-        for m in mappers:
-            process_remaining_images(m, start, end, opts)
-            _global_ba(m, opts, rot_priors)
+        with _stage("merge"):
+            mappers = merge_mappers(mappers, opts)
+            for m in mappers:
+                process_remaining_images(m, start, end, opts)
+                _global_ba(m, opts, rot_priors)
 
     if opts.loop_detection and opts.final_closure_sweeps > 0:
-        for m in mappers:
-            _final_closure_sweeps(m, opts, rot_priors)
+        with _stage("closure_sweeps"):
+            for m in mappers:
+                _final_closure_sweeps(m, opts, rot_priors)
 
     cp_results = None
     main = max(mappers, key=lambda m: m.num_proc_images) if mappers else None
     if opts.use_control_points and control_points and main is not None:
-        cp_results = apply_control_points(main, control_points, opts)
+        with _stage("control_points"):
+            cp_results = apply_control_points(main, control_points, opts)
 
     if opts.filter_max_error > 0 and main is not None:
-        _global_ba(main, opts, rot_priors, update_errors=True)
-        n = filter_point_cloud(main, opts.filter_max_error)
-        if opts.verbose:
-            print(f"Filtered {n} points with error > {opts.filter_max_error}")
-        _global_ba(main, opts, rot_priors)
+        with _stage("filter"):
+            _global_ba(main, opts, rot_priors, update_errors=True)
+            n = filter_point_cloud(main, opts.filter_max_error)
+            if opts.verbose:
+                print(f"Filtered {n} points with error > "
+                      f"{opts.filter_max_error}")
+            _global_ba(main, opts, rot_priors)
 
-    return PipelineResult(mappers=mappers, control_point_results=cp_results)
+    if opts.verbose:
+        stages = " | ".join(f"{k} {v:.1f}s" for k, v in timings.items())
+        print(f"Pipeline stages: {stages}")
+    return PipelineResult(mappers=mappers, control_point_results=cp_results,
+                          timings=timings)
