@@ -78,6 +78,14 @@ class BAOptions:
     # thousands of cameras), or "auto" (cg when the problem has no pair
     # list or many cameras).
     solver: str = "auto"
+    # Above this observation count, self-calibration runs as TWO stages
+    # (intrinsics refined on an observation subsample, then the full
+    # problem with intrinsics fixed): the joint selfcal CG carries ~90
+    # per-observation Jacobian columns through its inner loop and XLA's
+    # remat layouts blow past one chip's HBM around ~300k observations.
+    # Intrinsics are overdetermined thousands-fold, so the subsample loses
+    # nothing (mapper.adjust_bundle implements the split).
+    selfcal_max_obs: int = 150_000
     cg_max_iters: int = 100
     cg_tol: float = 1e-3
 
@@ -1023,12 +1031,20 @@ def _lm_step_selfcal_cg(prob: BAProblem, poses, points_d, cam_params,
     D = D + jax.vmap(jnp.diag)(1.0 - free)
     Minv = jnp.linalg.inv(D)
 
+    # Stack the per-observation Jacobian columns into 2-D arrays BEFORE the
+    # CG loop: ~140 separate (O,) columns carried as while-loop invariants
+    # each materialize as a lane-padded f32[1, O] temp on TPU (128x memory
+    # blow-up — measured 26 GB at O=344k, the 500-image selfcal OOM). The
+    # matvec slices columns back out transiently; XLA fuses the slices.
+    E2 = [cm.stack_cols_wide(Ecols[a][0] + Ecols[a][1]) for a in range(2)]
+    G2 = [cm.stack_cols_wide(Gcols[a]) for a in range(2)]  # (O, 27)
+
     def matvec(x):  # x (B, 9), free-masked
         xa = [cm.cols_of(x[blk[:, a]]) for a in range(2)]   # 2 x 9 cols
         # u_k = w * sum_a sum_j E[a][k][j] xa[a][j]  (the 2 residual rows)
         u = [
             w * sum(
-                sum(Ecols[a][k][j] * xa[a][j] for j in range(9))
+                sum(E2[a][:, k * 9 + j] * xa[a][j] for j in range(9))
                 for a in range(2)
             )
             for k in range(2)
@@ -1036,7 +1052,7 @@ def _lm_step_selfcal_cg(prob: BAProblem, poses, points_d, cam_params,
         y = jnp.zeros((B, 9))
         for a in range(2):
             contrib = cm.stack_cols(
-                [Ecols[a][0][i] * u[0] + Ecols[a][1][i] * u[1]
+                [E2[a][:, i] * u[0] + E2[a][:, 9 + i] * u[1]
                  for i in range(9)]
             )
             y = y + _seg_ids(blk[:, a], contrib, B, mv_backend)
@@ -1046,7 +1062,7 @@ def _lm_step_selfcal_cg(prob: BAProblem, poses, points_d, cam_params,
         # Schur term (G carries the w factor already).
         t = [
             sum(
-                sum(Gcols[a][i * 3 + j] * xa[a][i] for i in range(9))
+                sum(G2[a][:, i * 3 + j] * xa[a][i] for i in range(9))
                 for a in range(2)
             )
             for j in range(3)
@@ -1055,13 +1071,13 @@ def _lm_step_selfcal_cg(prob: BAProblem, poses, points_d, cam_params,
         sv = cm.stack_cols(
             cm.matvec_cols(cm.cols_of(Vinv), cm.cols_of(tp), 3, 3)
         )
-        sv_o = cm.cols_of(sv[prob.obs_point_dense])
+        sv_o = sv[prob.obs_point_dense]  # (O, 3)
         for a in range(2):
-            y = y - _seg_ids(
-                blk[:, a],
-                cm.stack_cols(cm.matvec_cols(Gcols[a], sv_o, 9, 3)),
-                B, mv_backend,
-            )
+            contrib = cm.stack_cols([
+                sum(G2[a][:, i * 3 + j] * sv_o[:, j] for j in range(3))
+                for i in range(9)
+            ])
+            y = y - _seg_ids(blk[:, a], contrib, B, mv_backend)
         return y * free
 
     b = -g_red * free

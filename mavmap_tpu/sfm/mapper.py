@@ -1115,6 +1115,38 @@ class SequentialMapper:
                     rp[k] = rot_priors[idx]
                     rw[k] = rot_prior_weight
 
+        if (ba_options.refine_camera_params and not async_
+                and len(obs_xy) > ba_options.selfcal_max_obs):
+            # Two-stage self-calibration (see BAOptions.selfcal_max_obs):
+            # stage 1 refines the shared intrinsics on an observation
+            # subsample, stage 2 below runs the FULL problem with the
+            # refined intrinsics held fixed.
+            from dataclasses import replace as _dc_replace
+
+            stride = int(np.ceil(len(obs_xy) / ba_options.selfcal_max_obs))
+            sub = np.arange(0, len(obs_xy), stride)
+            pids_s, obs_point_s, counts_s = np.unique(
+                obs_pt_raw[sub], return_inverse=True, return_counts=True)
+            point_fixed_s = counts_s < 2
+            if len(gcp_point_ids):
+                point_fixed_s |= np.isin(pids_s,
+                                         np.asarray(list(gcp_point_ids)))
+            prob_s = build_problem(
+                poses, self.store.point3D_xyz[pids_s].astype(np.float32),
+                self.store.camera_params.astype(np.float32),
+                self.store.camera_models, obs_image[sub],
+                obs_point_s.astype(np.int32), obs_cam[sub], obs_xy[sub],
+                pose_states=states, point_fixed=point_fixed_s,
+                rot_prior=rp, rot_prior_weight=rw, bucket=True,
+                with_pairs=False,
+            )
+            _, _, info_s = bundle_adjust(
+                prob_s,
+                _dc_replace(ba_options, update_point3D_errors=False),
+                num_obs=len(sub))
+            self._adopt_cam_params(np.asarray(info_s["cam_params"]))
+            ba_options = _dc_replace(ba_options, refine_camera_params=False)
+
         prob = build_problem(
             poses, points, self.store.camera_params.astype(np.float32),
             self.store.camera_models, obs_image, obs_point, obs_cam, obs_xy,

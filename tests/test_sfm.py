@@ -122,3 +122,36 @@ def test_relative_min_disparity_gate(rng):
 
     assert mk(2.0)        # absolute: 2 px, trivially passes
     assert not mk(0.9)    # relative: 0.9 * diagonal, impossible
+
+
+def test_two_stage_selfcal_large_problem(rng):
+    """Global BA with refine_camera_params on a problem LARGER than
+    BAOptions.selfcal_max_obs runs the two-stage path: intrinsics refined
+    on an observation subsample, then the full problem with intrinsics
+    fixed. Tested with a tiny cap so the split triggers on a small scene;
+    intrinsics must move toward truth and ATE must stay sub-centimeter."""
+    from dataclasses import replace
+
+    scene = make_uav_scene(num_images=8, num_points=2500, relief=10.0,
+                           rows=1, seed=31)
+    feats, _ = render_features(scene, pixel_noise=0.3, clutter=10, seed=31)
+    m = _run_sequence(scene, feats)
+    # Perturb the stored intrinsics, then global selfcal BA with a cap
+    # that forces the two-stage split (subsample stride > 1).
+    true_f = float(m.store.camera_params[0, 0])
+    m.store.camera_params[0, 0] = true_f * 1.01
+    m.store.camera_params[0, 1] = true_f * 1.01
+    m.cam_params[0, 0] = true_f * 1.01
+    m.cam_params[0, 1] = true_f * 1.01
+    m._norm_cache.clear()
+    m._dev_norm_cache.clear()
+    info = m.adjust_global_bundle(
+        BAOptions(max_num_iterations=40, refine_camera_params=True,
+                  selfcal_max_obs=2000))
+    assert info is not None
+    got_f = float(m.store.camera_params[0, 0])
+    assert abs(got_f - true_f) < abs(true_f * 1.01 - true_f) * 0.5, (
+        got_f, true_f)
+    ate, nreg = _ate(m, scene)
+    assert nreg == 8
+    assert ate < 0.02
