@@ -148,14 +148,15 @@ def build_problem(
 ):
     """Host-side problem construction (numpy in, BAProblem of jnp arrays out).
 
-    Enumerates the exact track co-observation pair list for the Schur
-    off-diagonal terms (the quadratic-in-track-length part the reference
-    leaves to Ceres' sparse solver). Capacities allow bucketing to avoid
-    recompilation across calls; `bucket=True` rounds every dynamic dimension
-    (images, points, observations, pairs) up to coarse quanta so repeated
-    solves hit the jit cache — without it the LM loop recompiles every call
-    and compilation dominates wall-clock (the padding rows are fixed/masked
-    and contribute nothing).
+    Capacities allow bucketing to avoid recompilation across calls;
+    `bucket=True` rounds every dynamic dimension (images, points,
+    observations) up to coarse quanta so repeated solves hit the jit cache
+    — without it the LM loop recompiles every call and compilation
+    dominates wall-clock (the padding rows are fixed/masked and contribute
+    nothing). `with_pairs`/`pair_capacity` are accepted for API
+    compatibility and ignored: the dense Schur off-diagonal now comes from
+    per-(point, image) aggregation (see _ptblk_agg), not an explicit
+    co-observation pair list.
     """
     obs_image = np.asarray(obs_image, np.int32)
     obs_point = np.asarray(obs_point, np.int32)
@@ -163,12 +164,13 @@ def build_problem(
     obs_uv = np.asarray(obs_uv, np.float32)
     O = len(obs_image)
 
-    # Sort observations by 3-D point: the large segment_sums (per-point
-    # blocks, CG matvec reductions — P segments vs only I for images) then
+    # Sort observations by (3-D point, image): the large segment_sums
+    # (per-point blocks, CG matvec reductions — P segments vs only I for
+    # images) AND the dense-Schur per-(point, image) aggregation ids then
     # run with indices_are_sorted=True, which XLA lowers far better than a
     # random scatter-add.
     if O:
-        order0 = np.argsort(obs_point, kind="stable")
+        order0 = np.lexsort((obs_image, obs_point))
         obs_image = obs_image[order0]
         obs_point = obs_point[order0]
         obs_cam = obs_cam[order0]
@@ -194,36 +196,24 @@ def build_problem(
         rows0 = np.zeros(0, np.int32)
     Pd0 = len(rows0)
 
-    # Track pair list: for every point, ALL ordered pairs (a, b) of its
-    # observations including a == b — the Schur product subtracts
-    # G_a V^-1 G_b^T for every such pair. Fully vectorized (this runs once
-    # per BA call; a Python per-track loop would dominate frame time).
-    # Observations are already point-sorted above -> identity permutation.
-    if not with_pairs or not O:
-        # CG solver: the Schur matvec is matrix-free, no pair list needed
-        # (the O(sum k^2) enumeration is the memory/compute hog at scale).
-        pair_a = np.zeros(0, np.int64)
-        pair_b = np.zeros(0, np.int64)
-    else:
-        # pair_a: each obs repeated k times (its group's size).
-        k_per_obs = counts[group_id]
-        pair_a = np.repeat(order, k_per_obs)
-        # pair_b: per group, the whole track tiled k times.
-        pair_sizes = counts * counts
-        gid_per_pair = np.repeat(np.arange(len(counts)), pair_sizes)
-        offsets = np.concatenate([[0], np.cumsum(pair_sizes)[:-1]])
-        j_within = np.arange(pair_sizes.sum()) - offsets[gid_per_pair]
-        pair_b = order[starts[gid_per_pair] + j_within % counts[gid_per_pair]]
+    # The dense Schur off-diagonal is computed from per-(point, block)
+    # AGGREGATES (S_off[i,j] = sum_p That_p[i] Ghat_p[j]^T) — the explicit
+    # O(sum track_len^2) co-observation pair list that earlier revisions
+    # enumerated here is gone entirely (it dominated host build time and
+    # HBM on dense problems). `with_pairs` is accepted for API
+    # compatibility and ignored; the pair fields stay empty.
+    del with_pairs
+    pair_a = np.zeros(0, np.int64)
+    pair_b = np.zeros(0, np.int64)
     Q = len(pair_a)
+    pair_capacity = 0
 
     def round_up(n, q):
         return max(((n + q - 1) // q) * q, q)
 
     if obs_capacity is None:
         obs_capacity = round_up(O, 4096) if bucket else O
-    if pair_capacity is None:
-        pair_capacity = 0 if not with_pairs else (round_up(Q, 16384) if bucket else Q)
-    assert obs_capacity >= O and pair_capacity >= Q
+    assert obs_capacity >= O
 
     def pad(arr, n, fill=0):
         out = np.full((n,) + arr.shape[1:], fill, arr.dtype)
@@ -295,7 +285,12 @@ def build_problem(
         points=jnp.asarray(points, jnp.float32),
         cam_params=jnp.asarray(cam_params, jnp.float32),
         cam_models=jnp.asarray(cam_models, jnp.int32),
-        obs_image=jnp.asarray(pad(obs_image, obs_capacity)),
+        # Padding keeps the LAST image index so the combined
+        # (point, image) aggregation ids stay sorted.
+        obs_image=jnp.asarray(
+            pad(obs_image, obs_capacity,
+                fill=int(obs_image[-1]) if O else 0)
+        ),
         # Padding rows keep the LAST point index so obs_point stays sorted
         # (indices_are_sorted=True in the point-keyed segment sums; masked
         # rows contribute zeros wherever they land).
@@ -642,25 +637,34 @@ def _backsub_points(prob: BAProblem, Vinv, bp, G, dc, backend="xla"):
     return -dp * prob.point_free_dense[:, None]
 
 
+def _ptblk_agg(prob: BAProblem, vals, nblk, blk_ids, sorted_ids=True):
+    """Per-(point, block) aggregation: (O, K) values -> (Pd, nblk, K).
+
+    The Schur off-diagonal is sum_p That_p[i] Ghat_p[j]^T — aggregating the
+    couplings per (point, block) FIRST replaces the O(sum track_len^2)
+    explicit pair enumeration with one sorted segment sum over
+    observations plus one batched matmul (observations are sorted by
+    (point, image) at build time; padding keeps ids monotone)."""
+    Pd = prob.point_rows.shape[0]
+    ids = prob.obs_point_dense * nblk + blk_ids
+    out = jax.ops.segment_sum(vals, ids, num_segments=Pd * nblk,
+                              indices_are_sorted=sorted_ids)
+    return out.reshape(Pd, nblk, vals.shape[1] // 3, 3)
+
+
 def _lm_step(prob: BAProblem, poses, points_d, lam, scale, backend="xla"):
     """One damped LM solve (exact dense Schur): returns (dposes, dpoints_d)."""
     I = poses.shape[0]
     U, Vinv, bp, G, T, g_red = _assemble_blocks(prob, poses, points_d, lam,
                                                 scale, backend=backend)
 
-    # Schur: S = U - sum over co-observation pairs T_a G_b^T scattered to
-    # (img_a, img_b) blocks. (Flat 18-blocks -> (Q, 6, 3) for the pair math;
-    # the dense path only runs on small problems.)
-    Ta = T[prob.pair_a].reshape(-1, 6, 3)
-    Gb = G[prob.pair_b].reshape(-1, 6, 3)
-    contrib = jnp.einsum("qij,qkj->qik", Ta, Gb)  # (Q, 6, 6)
-    contrib = jnp.where(prob.pair_mask[:, None, None], contrib, 0.0)
-    pair_blk = prob.obs_image[prob.pair_a] * I + prob.obs_image[prob.pair_b]
-    # One-hot MXU reduction: a raw scatter-add over the pair list was the
-    # dominant cost of the whole dense step on TPU (unsorted scatter).
-    S_off = _seg_ids(pair_blk, contrib, I * I, backend)
+    # Schur: S = U - sum_p That_p[i] Ghat_p[j]^T via per-(point, image)
+    # aggregation (G/T rows carry the w factor, so masked rows are zero).
+    That = _ptblk_agg(prob, T, I, prob.obs_image)  # (Pd, I, 6, 3)
+    Ghat = _ptblk_agg(prob, G, I, prob.obs_image)
+    S_off = jnp.einsum("pbij,pckj->bcik", That, Ghat)
     S = jnp.zeros((I, I, 6, 6)).at[jnp.arange(I), jnp.arange(I)].set(U)
-    S = S - S_off.reshape(I, I, 6, 6)
+    S = S - S_off
 
     # Dense solve over (6I, 6I) with fixed rows/cols pinned to identity.
     Sd = S.transpose(0, 2, 1, 3).reshape(I * 6, I * 6)
@@ -945,25 +949,21 @@ def _lm_step_selfcal(prob: BAProblem, poses, points_d, cam_params, cam_free,
     H = H.reshape(B, B, 9, 9)
     H = H.at[jnp.arange(I), jnp.arange(I)].add(Ur9)
 
-    # Schur off-diagonal over co-observation pairs x 4 entry combos, also
-    # fused into one one-hot MXU reduction (a raw scatter-add here was the
-    # dominant cost of the whole selfcal step on TPU).
+    # Schur off-diagonal via per-(point, block) aggregation over BOTH
+    # entries (pose block + shared-intrinsics block): S_off[b, c] =
+    # sum_p That_p[b] Ghat_p[c]^T — covers all 4 entry combinations of
+    # every co-observation pair with two sorted segment sums and one
+    # batched matmul, no pair enumeration. Entry 1's ids (camera blocks)
+    # are only near-sorted within a point for multi-camera rigs.
     G2 = [cm.stack_cols_wide(Gcols[a]) for a in range(2)]  # (O, 27)
     T2 = [cm.stack_cols_wide(Tcols[a]) for a in range(2)]
-    s_ids = []
-    s_vals = []
-    for a in range(2):
-        Ta = T2[a][prob.pair_a].reshape(-1, 9, 3)
-        for b in range(2):
-            Gb = G2[b][prob.pair_b].reshape(-1, 9, 3)
-            contrib = jnp.einsum("qij,qkj->qik", Ta, Gb)
-            contrib = jnp.where(prob.pair_mask[:, None, None], contrib, 0.0)
-            s_ids.append(blk[prob.pair_a, a] * B + blk[prob.pair_b, b])
-            s_vals.append(contrib)
-    S_off = _seg_ids(jnp.concatenate(s_ids), jnp.concatenate(s_vals),
-                     B * B, backend)
+    That = (_ptblk_agg(prob, T2[0], B, blk[:, 0])
+            + _ptblk_agg(prob, T2[1], B, blk[:, 1], sorted_ids=False))
+    Ghat = (_ptblk_agg(prob, G2[0], B, blk[:, 0])
+            + _ptblk_agg(prob, G2[1], B, blk[:, 1], sorted_ids=False))
+    S_off = jnp.einsum("pbij,pckj->bcik", That, Ghat)
 
-    S = H - S_off.reshape(B, B, 9, 9)
+    S = H - S_off
     # Marquardt damping on the diagonal blocks (diag of the UNDAMPED H).
     dH = jnp.diagonal(Ddiag, axis1=-2, axis2=-1)
     S = S.at[jnp.arange(B), jnp.arange(B)].add(
@@ -1256,21 +1256,15 @@ def _resolve_backend(options: BAOptions) -> str:
 def _resolve_solver(prob: BAProblem, options: BAOptions) -> str:
     """Pick the reduced-camera-system solver.
 
-    A problem built with with_pairs=False has no co-observation pair list
-    and can only use CG; when the caller paid for a pair list, "auto" uses
-    the exact dense solve (callers choose CG by building with
-    with_pairs=False — keyed on the same camera-count threshold, so the
-    pair list is never enumerated-and-discarded).
+    "auto": the exact dense solve below DENSE_SOLVER_MAX_CAMERAS (the
+    (I, I, 6, 6) Schur tensor and its Cholesky stay cheap), matrix-free
+    preconditioned CG above it. Both work on any problem — the dense
+    Schur off-diagonal comes from per-(point, image) aggregation, no
+    pair list exists anymore.
     """
-    if prob.pair_a.shape[0] == 0 and int(prob.obs_mask.shape[0]) > 0:
-        if options.solver == "dense":
-            raise ValueError(
-                "solver='dense' needs the co-observation pair list; this "
-                "problem was built with with_pairs=False (CG only)"
-            )
-        return "cg"
     if options.solver == "auto":
-        return "dense"
+        I = int(prob.poses.shape[0])
+        return "dense" if I < DENSE_SOLVER_MAX_CAMERAS else "cg"
     return options.solver
 
 

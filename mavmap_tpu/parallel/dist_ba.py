@@ -106,20 +106,6 @@ def partition_problem(
         )
 
     shards = [build_shard(s) for s in range(num_shards)]
-    max_pairs = max(p.pair_a.shape[0] for p in shards)
-
-    def pad_pairs(p: BAProblem):
-        q = p.pair_a.shape[0]
-        if q == max_pairs:
-            return p
-        padn = max_pairs - q
-        return p._replace(
-            pair_a=jnp.concatenate([p.pair_a, jnp.zeros(padn, jnp.int32)]),
-            pair_b=jnp.concatenate([p.pair_b, jnp.zeros(padn, jnp.int32)]),
-            pair_mask=jnp.concatenate([p.pair_mask, jnp.zeros(padn, bool)]),
-        )
-
-    shards = [pad_pairs(p) for p in shards]
     stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *shards)
     # Per-shard arrays keep the leading shard axis; replicated fields are
     # identical across shards (poses, cams, masks, priors, points).
@@ -128,23 +114,24 @@ def partition_problem(
 
 def _local_normal_terms(prob: BAProblem, poses, points_d, lam, scale, axis):
     """Shard-local contributions + psum-reduced camera system pieces
-    (dense path: materializes the full Schur matrix from the pair list)."""
+    (dense path: the Schur off-diagonal from per-(point, image)
+    aggregation; points are shard-disjoint so each point's whole track —
+    and hence its full outer product — is shard-local)."""
+    from ..ba.core import _ptblk_agg
+
     I = poses.shape[0]
     U, Vinv, bp, G, T, g_red = _assemble_blocks(
         prob, poses, points_d, lam, scale, psum_axis=axis
     )
 
     # G/T are flat (O, 18) row-major 6x3 blocks (ba/colmath.py convention).
-    Ta = T[prob.pair_a].reshape(-1, 6, 3)
-    Gb = G[prob.pair_b].reshape(-1, 6, 3)
-    contrib = jnp.einsum("qij,qkj->qik", Ta, Gb)
-    contrib = jnp.where(prob.pair_mask[:, None, None], contrib, 0.0)
-    pair_blk = prob.obs_image[prob.pair_a] * I + prob.obs_image[prob.pair_b]
-    S_off = jax.ops.segment_sum(contrib, pair_blk, num_segments=I * I)
+    That = _ptblk_agg(prob, T, I, prob.obs_image)
+    Ghat = _ptblk_agg(prob, G, I, prob.obs_image)
+    S_off = jnp.einsum("pbij,pckj->bcik", That, Ghat)
     S_off = jax.lax.psum(S_off, axis)
 
     S = jnp.zeros((I, I, 6, 6)).at[jnp.arange(I), jnp.arange(I)].set(U)
-    S = S - S_off.reshape(I, I, 6, 6)
+    S = S - S_off
     return S, g_red, G, Vinv, bp
 
 
@@ -226,10 +213,8 @@ def dist_bundle_adjust(mesh, stacked_prob: BAProblem, scale=1.0,
     n = mesh.devices.size
     per_shard = stacked_prob.points.shape[1] // n if stacked_prob.points.ndim == 3 else stacked_prob.points.shape[0] // n
     if solver == "auto":
-        npairs = stacked_prob.pair_a.shape[-1]
         ncams = stacked_prob.poses.shape[-2]
-        solver = ("cg" if (npairs == 0 or ncams >= DENSE_SOLVER_MAX_CAMERAS)
-                  else "dense")
+        solver = "cg" if ncams >= DENSE_SOLVER_MAX_CAMERAS else "dense"
 
     def shard_fn(prob_local):
         # prob_local: leading shard axis of size 1 for per-shard arrays.

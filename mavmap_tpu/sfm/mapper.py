@@ -1054,7 +1054,7 @@ class SequentialMapper:
         local-BA flush staler — the windowed LM re-converges either way.
         """
         from ..ba import BAOptions, build_problem, bundle_adjust
-        from ..ba import bundle_adjust_async, DENSE_SOLVER_MAX_CAMERAS
+        from ..ba import bundle_adjust_async
         from ..ba import BA_POSE_FIXED, BA_POSE_FIXED_X
 
         if async_ and defer:
@@ -1138,7 +1138,6 @@ class SequentialMapper:
                 obs_point_s.astype(np.int32), obs_cam[sub], obs_xy[sub],
                 pose_states=states, point_fixed=point_fixed_s,
                 rot_prior=rp, rot_prior_weight=rw, bucket=True,
-                with_pairs=False,
             )
             _, _, info_s = bundle_adjust(
                 prob_s,
@@ -1152,10 +1151,9 @@ class SequentialMapper:
             self.store.camera_models, obs_image, obs_point, obs_cam, obs_xy,
             pose_states=states, point_fixed=point_fixed,
             rot_prior=rp, rot_prior_weight=rw, bucket=True,
-            # Large (global) problems solve the reduced camera system with
-            # matrix-free Schur CG — skip the O(sum track_len^2) pair
-            # enumeration entirely (it dominates host time and HBM there).
-            with_pairs=len(sel_ids) < DENSE_SOLVER_MAX_CAMERAS,
+            # Solver choice (exact dense Schur below
+            # DENSE_SOLVER_MAX_CAMERAS, matrix-free CG above) happens in
+            # _resolve_solver from the camera count.
         )
         n_obs = len(obs_xy)
         if async_ and defer:

@@ -273,8 +273,7 @@ def apply_control_points(mapper, control_points, opts: PipelineOptions):
     Returns [(cp, est_xyz, track_len, mean_residual)].
     """
     import jax.numpy as jnp
-    from ..ba import (build_problem, bundle_adjust, BAOptions as BAO,
-                      DENSE_SOLVER_MAX_CAMERAS)
+    from ..ba import build_problem, bundle_adjust, BAOptions as BAO
     from ..ba import BA_POSE_FIXED
     from ..models import camera as cam
     from ..ops.projection import compose_proj_matrix, calc_reproj_errors
@@ -402,7 +401,6 @@ def apply_control_points(mapper, control_points, opts: PipelineOptions):
         poses, points, mapper.store.camera_params.astype(np.float32),
         mapper.store.camera_models, obs_image, obs_point, obs_cam, obs_xy,
         pose_states=states, point_fixed=point_fixed, bucket=True,
-        with_pairs=len(image_ids) < DENSE_SOLVER_MAX_CAMERAS,  # else CG
     )
     new_poses, new_points, info = bundle_adjust(
         prob, BAO(max_num_iterations=opts.ba_global_max_iters,

@@ -255,10 +255,10 @@ def test_ba_cg_no_pair_list(rng):
     X0 = X + rng.normal(size=X.shape) * 0.03
     states = [BA_POSE_FIXED, BA_POSE_FIXED_X] + [0] * (len(poses_gt) - 2)
     prob = build_problem(poses0, X0, K, [cam.PINHOLE], oi, op,
-                         np.zeros_like(oi), uv, pose_states=states,
-                         with_pairs=False)
-    assert prob.pair_a.shape[0] == 0
-    poses, points, info = bundle_adjust(prob, BAOptions(max_num_iterations=60))
+                         np.zeros_like(oi), uv, pose_states=states)
+    assert prob.pair_a.shape[0] == 0  # pair lists are gone entirely
+    poses, points, info = bundle_adjust(
+        prob, BAOptions(max_num_iterations=60, solver="cg"))
     assert float(info["final_cost"]) < 1e-3
     assert np.abs(np.asarray(poses) - poses_gt).max() < 1e-3
     assert np.abs(np.asarray(points) - X).max() < 1e-2
@@ -287,9 +287,9 @@ def test_bucketed_problem_matches_unbucketed(rng):
     # Same invariant on the CG path.
     pc = build_problem(poses0, X0, K, [cam.PINHOLE], oi, op,
                        np.zeros_like(oi), uv, pose_states=states,
-                       bucket=True, with_pairs=False)
+                       bucket=True)
     p3, x3, i3 = bundle_adjust(pc, BAOptions(max_num_iterations=20,
-                                             cg_tol=1e-6))
+                                             solver="cg", cg_tol=1e-6))
     assert np.abs(np.asarray(p3)[:n_poses] - np.asarray(p1)).max() < 1e-3
 
 
