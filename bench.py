@@ -102,18 +102,37 @@ def main():
         last = 1
         ba_time = 0.0
         ba_iters = 0
-        for i in range(2, n_images):
+
+        def local_ba(drop_last=0):
+            nonlocal ba_time, ba_iters
+            reg = sorted(m.image_idx_to_id.keys())
+            if drop_last:
+                reg = reg[:-drop_last]
+            window = reg[-8:]
+            if len(window) > 2:
+                t0 = time.time()
+                info = m.adjust_bundle(window[2:], window[:2],
+                                       ba_options=ba_opts, async_=True,
+                                       defer=True)
+                ba_time += time.time() - t0
+                ba_iters += int(info["iterations"]) if info else 0
+
+        i = 2
+        while i < n_images:
+            # Chained pairs: one pull round-trip per TWO frames.
+            if i + 1 < n_images and not m.is_image_processed(i):
+                okA, okB = m.process_chain(i, i + 1, last, opts)
+                if okA:
+                    last = i + 1 if okB else i
+                    if okB:
+                        local_ba(drop_last=1)  # per-frame BA cadence
+                    local_ba()
+                    i += 2 if okB else 1
+                    continue
             if m.process(i, last, opts):
                 last = i
-                reg = sorted(m.image_idx_to_id.keys())
-                window = reg[-8:]
-                if len(window) > 2:
-                    t0 = time.time()
-                    info = m.adjust_bundle(window[2:], window[:2],
-                                           ba_options=ba_opts, async_=True,
-                                           defer=True)
-                    ba_time += time.time() - t0
-                    ba_iters += int(info["iterations"]) if info else 0
+                local_ba()
+            i += 1
         info = m.flush_ba()
         if info:
             ba_iters += int(info["iterations"])

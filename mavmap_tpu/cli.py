@@ -111,6 +111,9 @@ def build_parser():
     p.add_argument("--no-merge", action="store_true",
                    help="do not merge separate sub-maps")
     p.add_argument("--no-loop-detection", action="store_true")
+    p.add_argument("--no-chain-frames", action="store_true",
+                   help="disable two-frame chained registration (one device "
+                        "round-trip per frame instead of per pair)")
     p.add_argument("--final-closure-sweeps", type=int, default=1,
                    help="post-global-BA rounds of non-neighborhood closure "
                         "sweeping + re-BA (0 disables; beyond reference — "
@@ -266,6 +269,7 @@ def main(argv=None):
         loop_detection_num_nh_images=args.loop_detection_num_nh_images,
         loop_detection_nh_dist=args.loop_detection_nh_dist,
         merge=not args.no_merge,
+        chain_frames=not args.no_chain_frames,
         final_closure_sweeps=args.final_closure_sweeps,
         final_closure_step=args.final_closure_step,
         merge_num_skip_images=args.merge_num_skip_images,

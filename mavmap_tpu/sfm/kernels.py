@@ -343,6 +343,87 @@ def unpack_register(rows, scalars) -> RegisterResult:
     )
 
 
+@partial(jax.jit, static_argnames=("p3p_trials", "hom_trials",
+                                   "refine_iters", "matcher"))
+def register_chain2(
+    keys,
+    kp_p, d_p, m_p, n_p,
+    kpA, dA, mA, nA,
+    kpB, dB, mB, nB,
+    prev_xyz, prev_has_tri, prev_stable, prev_len,
+    prev_rvec, prev_tvec,
+    cam_paramsA, cam_modelA, cam_paramsB, cam_modelB,
+    ratio, max_distance, norm_thresholdA, norm_thresholdB,
+    tri_ntA, min_tri_angle, min_track_len,
+    p3p_trials: int = 512,
+    hom_trials: int = 128,
+    refine_iters: int = 30,
+    matcher: str = "xla",
+):
+    """TWO consecutive frame registrations in ONE device program: frame B
+    anchors on track state DERIVED ON DEVICE from frame A's results (a
+    replica of the host commit rules in mapper._register_commit), so the
+    sequential loop pulls once per TWO frames — on a remote-attached TPU
+    the ~26 ms pull round-trip is the per-frame floor otherwise.
+
+    The derived state only steers B's registration (which 2D-3D pairs
+    feed P3P/refinement); the committed map still comes from the host's
+    own bookkeeping, so a derivation mismatch can only degrade B's pose
+    estimate, never corrupt the map. Host gates still veto each frame.
+
+    Returns (rowsA, scalarsA, has_triA, rowsB, scalarsB).
+    """
+    rowsA, scalarsA = register_view(
+        keys[0], kp_p, d_p, m_p, n_p, kpA, dA, mA, nA,
+        prev_xyz, prev_has_tri, prev_stable, prev_rvec, prev_tvec,
+        cam_paramsA, cam_modelA, ratio, max_distance, norm_thresholdA,
+        p3p_trials=p3p_trials, hom_trials=hom_trials,
+        refine_iters=refine_iters, matcher=matcher,
+    )
+
+    F = kpA.shape[0]
+    matchesA = rowsA[:, 0].astype(jnp.int32)
+    validA = rowsA[:, 1] > 0.5
+    track_err = rowsA[:, 3]
+    ep, ec = rowsA[:, 4], rowsA[:, 5]
+    ang = rowsA[:, 6]
+    dpv, dcv = rowsA[:, 7], rowsA[:, 8]
+    XnewA = rowsA[:, 9:12]
+    rvecA, tvecA = scalarsA[7:10], scalarsA[10:13]
+
+    # Device replica of the commit's track rules (mapper._register_commit):
+    # continue if the existing 3-D point reprojects well in A; else a new
+    # triangulation must pass both reprojection gates, the folded angle,
+    # and positive depths.
+    angf = jnp.minimum(ang, jnp.pi - ang)
+    cont = validA & prev_has_tri & (track_err < tri_ntA)
+    new = (validA & ~prev_has_tri & (ep < tri_ntA) & (ec < tri_ntA)
+           & (angf >= min_tri_angle) & (dpv > 0) & (dcv > 0))
+    got = cont | new
+    src_xyz = jnp.where(cont[:, None], prev_xyz, XnewA)
+    src_len = jnp.where(cont, prev_len + 1, 2)
+
+    # Scatter prev-row state into A-row space (matches are injective on
+    # valid rows — mutual cross-check); invalid rows scatter out of range
+    # and drop.
+    tgt = jnp.where(validA, matchesA, F)
+    xyzA = jnp.zeros((F, 3), prev_xyz.dtype).at[tgt].set(
+        jnp.where(got[:, None], src_xyz, 0.0), mode="drop")
+    has_triA = jnp.zeros(F, bool).at[tgt].set(got, mode="drop")
+    lenA = jnp.zeros(F, jnp.int32).at[tgt].set(
+        jnp.where(got, src_len, 0), mode="drop")
+    stableA = has_triA & (lenA >= min_track_len)
+
+    rowsB, scalarsB = register_view(
+        keys[1], kpA, dA, mA, nA, kpB, dB, mB, nB,
+        xyzA, has_triA, stableA, rvecA, tvecA,
+        cam_paramsB, cam_modelB, ratio, max_distance, norm_thresholdB,
+        p3p_trials=p3p_trials, hom_trials=hom_trials,
+        refine_iters=refine_iters, matcher=matcher,
+    )
+    return rowsA, scalarsA, has_triA, rowsB, scalarsB
+
+
 @partial(jax.jit, static_argnames=("p3p_trials", "matcher"))
 def register_view_batch(
     keys,

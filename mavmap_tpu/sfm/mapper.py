@@ -232,7 +232,8 @@ class SequentialMapper:
 
     def _prev_track_state(self, prev_image_idx, options):
         """Per prev-row track info for registration, capacity-padded:
-        (prev_p2d ids, has_tri (F,), stable (F,), xyz (F,3), rvec, tvec)."""
+        (prev_p2d ids, has_tri (F,), stable (F,), xyz (F,3), rvec, tvec,
+        track_len (F,))."""
         prev_id = self.image_idx_to_id[prev_image_idx]
         prev_p2d = self.store.point2D_ids_of_image(prev_id)
         F = self.provider.capacity
@@ -241,19 +242,22 @@ class SequentialMapper:
         pids = np.maximum(p3d, 0)
         linked = (p3d >= 0) & self.store.point3D_valid[pids]
         has_tri_rows = linked & self.store.point3D_tri[pids]
-        stable_rows = has_tri_rows & (
-            self.store.point3D_track_len[pids] >= options.min_track_len
-        )
+        lens_rows = np.where(
+            has_tri_rows, self.store.point3D_track_len[pids], 0
+        ).astype(np.int32)
+        stable_rows = has_tri_rows & (lens_rows >= options.min_track_len)
         has_tri = np.zeros(F, bool)
         stable = np.zeros(F, bool)
+        lens = np.zeros(F, np.int32)
         xyz = np.zeros((F, 3), np.float32)
         has_tri[: len(prev_p2d)] = has_tri_rows
         stable[: len(prev_p2d)] = stable_rows
+        lens[: len(prev_p2d)] = lens_rows
         xyz[: len(prev_p2d)][has_tri_rows] = self.store.point3D_xyz[
             pids[has_tri_rows]
         ]
         prev_rvec, prev_tvec = self.store.get_pose(prev_id)
-        return prev_p2d, has_tri, stable, xyz, prev_rvec, prev_tvec
+        return prev_p2d, has_tri, stable, xyz, prev_rvec, prev_tvec, lens
 
     # ------------------------------------------------------ process_initial
 
@@ -422,7 +426,7 @@ class SequentialMapper:
         nt = self._norm_threshold(options.ransac_max_reproj_error, image_idx)
         tri_nt = self._norm_threshold(options.tri_max_reproj_error, image_idx)
 
-        prev_p2d, has_tri, stable, xyz, prev_rvec, prev_tvec = (
+        prev_p2d, has_tri, stable, xyz, prev_rvec, prev_tvec, _ = (
             self._prev_track_state(prev_image_idx, options)
         )
         n_prev_feats = len(prev_p2d)
@@ -450,23 +454,102 @@ class SequentialMapper:
         # frame's kernel. Any already-pending solve was dispatched (and
         # async-copied) one frame ago, so pulling it here costs nothing.
         self._copy_async(r)
-        newly = self._dispatch_deferred_ba()
-        pending = getattr(self, "_pending_ba", None)
-        if pending is not None:
-            packed, ba_vals = jax.device_get((r, pending[2].fut))
-            self._pending_ba = None
-            self._apply_ba(pending, prefetched=ba_vals)
-            r = unpack_register(*packed)
-        else:
-            r = unpack_register(*jax.device_get(r))
-        if newly is not None:
-            self._pending_ba = newly
+        r = unpack_register(*self._pull_with_pending(r))
 
         if not self._register_gates(image_idx, prev_image_idx, r, options,
                                     debug=debug):
             return False
         return self._register_commit(image_idx, prev_image_idx, r, options,
                                      prev_p2d, has_tri, tri_nt, debug=debug)
+
+    def process_chain(self, idxA, idxB, prev_image_idx,
+                      options: SequentialMapperOptions = None, debug=False):
+        """Register TWO consecutive frames in one device call
+        (kernels.register_chain2): frame B anchors on track state derived
+        on device from frame A's results; the pull round-trip — the
+        per-frame floor on a remote-attached TPU — is paid once per pair.
+
+        Returns (okA, okB). okB is None when frame A failed its gates (B
+        was registered against a rejected anchor — the caller must process
+        B through the normal path instead)."""
+        from .kernels import register_chain2
+
+        options = options or SequentialMapperOptions()
+        if not self.is_image_processed(prev_image_idx):
+            raise ValueError("chain needs a processed previous image")
+        if self.is_image_processed(idxA) or self.is_image_processed(idxB):
+            raise ValueError("chain frames must be unprocessed")
+
+        kpp, dp_, mp_, npn = self._device_features(prev_image_idx)
+        kpa, da_, ma_, na_ = self._device_features(idxA)
+        kpb, db_, mb_, nb_ = self._device_features(idxB)
+        ntA = self._norm_threshold(options.ransac_max_reproj_error, idxA)
+        ntB = self._norm_threshold(options.ransac_max_reproj_error, idxB)
+        tri_ntA = self._norm_threshold(options.tri_max_reproj_error, idxA)
+        tri_ntB = self._norm_threshold(options.tri_max_reproj_error, idxB)
+
+        prev_p2d, has_tri, stable, xyz, prev_rvec, prev_tvec, lens = (
+            self._prev_track_state(prev_image_idx, options)
+        )
+        ciA = self.image_cameras[idxA]
+        ciB = self.image_cameras[idxB]
+
+        # Chained scheduling differs from process(): the previous pair's
+        # deferred window solves go on the stream BEFORE this chain kernel
+        # and are pulled WITH it — one pair of anchor staleness instead of
+        # two (measured 2x ATE drift with the extra pair). They had the
+        # previous pull's return trip + commit window to run, so the wait
+        # here is small.
+        self._pending_ba = ((getattr(self, "_pending_ba", None) or [])
+                            + self._dispatch_deferred_ba())
+
+        out = register_chain2(
+            jax.random.split(self._next_key(), 2),
+            kpp, dp_, mp_, npn,
+            kpa, da_, ma_, na_,
+            kpb, db_, mb_, nb_,
+            jnp.asarray(xyz), jnp.asarray(has_tri), jnp.asarray(stable),
+            jnp.asarray(lens),
+            jnp.asarray(prev_rvec, jnp.float32),
+            jnp.asarray(prev_tvec, jnp.float32),
+            jnp.asarray(self.cam_params[ciA]), jnp.asarray(self.cam_models[ciA]),
+            jnp.asarray(self.cam_params[ciB]), jnp.asarray(self.cam_models[ciB]),
+            jnp.float32(options.match_max_ratio),
+            jnp.float32(options.match_max_distance
+                        if options.match_max_distance > 0 else 1e9),
+            jnp.float32(ntA), jnp.float32(ntB),
+            jnp.float32(tri_ntA),
+            jnp.float32(options.tri_min_angle * np.pi / 180.0),
+            jnp.asarray(options.min_track_len, jnp.int32),
+            p3p_trials=options.p3p_ransac_trials,
+            matcher=self._matcher_backend(options),
+        )
+        # Same overlap scheduling as process(): d2h first, deferred BA
+        # behind it, pull everything (+ pending BA) in one device_get.
+        self._copy_async(out)
+        rowsA, scalarsA, has_triA, rowsB, scalarsB = (
+            self._pull_with_pending(out))
+
+        rA = unpack_register(rowsA, scalarsA)
+        okA = self._register_gates(idxA, prev_image_idx, rA, options,
+                                   debug=debug)
+        if okA:
+            okA = self._register_commit(idxA, prev_image_idx, rA, options,
+                                        prev_p2d, has_tri, tri_ntA,
+                                        debug=debug)
+        if not okA:
+            return False, None
+
+        rB = unpack_register(rowsB, scalarsB)
+        okB = self._register_gates(idxB, idxA, rB, options, debug=debug)
+        if okB:
+            # B's commit classifies rows with the SAME derived has_tri the
+            # device used; A's p2d ids exist now (A just committed).
+            a_p2d = self.store.point2D_ids_of_image(self.image_idx_to_id[idxA])
+            okB = self._register_commit(idxB, idxA, rB, options,
+                                        a_p2d, has_triA > 0.5, tri_ntB,
+                                        debug=debug)
+        return okA, bool(okB)
 
     def _register_gates(self, image_idx, prev_image_idx, r, options,
                         debug=False):
@@ -987,33 +1070,52 @@ class SequentialMapper:
                 pass
 
     def _dispatch_deferred_ba(self):
-        """Dispatch a deferred local-BA problem (built by adjust_bundle
-        with defer=True) and return its async handle, or None."""
-        deferred = getattr(self, "_deferred_ba", None)
-        if deferred is None:
-            return None
+        """Dispatch ALL deferred local-BA problems (stashed by
+        adjust_bundle with defer=True), in order; returns their async
+        handles (possibly empty)."""
+        deferred = getattr(self, "_deferred_ba", None) or []
+        self._deferred_ba = []
         from ..ba import bundle_adjust_async
 
-        sel_ids, pids, prob, ba_options, n_obs = deferred
-        self._deferred_ba = None
-        handle = bundle_adjust_async(prob, ba_options, num_obs=n_obs)
-        self._copy_async(handle.fut)
-        return (sel_ids, pids, handle)
+        handles = []
+        for sel_ids, pids, prob, ba_options, n_obs in deferred:
+            h = bundle_adjust_async(prob, ba_options, num_obs=n_obs)
+            self._copy_async(h.fut)
+            handles.append((sel_ids, pids, h))
+        return handles
+
+    def _pull_with_pending(self, out):
+        """device_get `out` together with all pending BA futures (one
+        round-trip), apply the BA results in dispatch order, and promote
+        freshly dispatched deferred solves to pending."""
+        newly = self._dispatch_deferred_ba()
+        pending = getattr(self, "_pending_ba", None) or []
+        if pending:
+            vals, ba_vals = jax.device_get(
+                (out, [p[2].fut for p in pending]))
+            self._pending_ba = []
+            for p, v in zip(pending, ba_vals):
+                self._apply_ba(p, prefetched=v)
+        else:
+            vals = jax.device_get(out)
+        self._pending_ba = (getattr(self, "_pending_ba", None) or []) + newly
+        return vals
 
     def flush_ba(self, prefetched=None):
         """Make every in-flight/deferred BA result land in the store.
 
-        prefetched: host values of the PENDING solve's `fut` when the
-        caller already pulled them in a batched device_get.
+        prefetched: host values of the (single) PENDING solve's `fut` when
+        the caller already pulled them in a batched device_get.
         """
         info = None
-        if getattr(self, "_pending_ba", None) is not None:
-            pending = self._pending_ba
-            self._pending_ba = None
-            info = self._apply_ba(pending, prefetched)
-        newly = self._dispatch_deferred_ba()
-        if newly is not None:
-            info = self._apply_ba(newly)
+        pending = getattr(self, "_pending_ba", None) or []
+        self._pending_ba = []
+        for k, p in enumerate(pending):
+            info = self._apply_ba(
+                p, prefetched if (prefetched is not None and len(pending) == 1
+                                  and k == 0) else None)
+        for h in self._dispatch_deferred_ba():
+            info = self._apply_ba(h)
         return info
 
     def _adopt_cam_params(self, new_k):
@@ -1058,12 +1160,12 @@ class SequentialMapper:
         from ..ba import BA_POSE_FIXED, BA_POSE_FIXED_X
 
         if async_ and defer:
-            # Don't block on the in-flight solve — but never hold TWO
-            # deferred problems (only possible if no process() ran in
-            # between; then the first must land before we snapshot state).
-            if getattr(self, "_deferred_ba", None) is not None:
-                newly = self._dispatch_deferred_ba()
-                self._apply_ba(newly)
+            # Don't block on in-flight solves; deferred problems queue (a
+            # chained frame pair defers one window BA per frame). Bound the
+            # queue: past 4 stashed problems something is wrong upstream —
+            # land them before snapshotting state.
+            if len(getattr(self, "_deferred_ba", None) or []) >= 4:
+                self.flush_ba()
         else:
             self.flush_ba()  # results of a previous async solve land first
         ba_options = ba_options or BAOptions()
@@ -1157,12 +1259,15 @@ class SequentialMapper:
         )
         n_obs = len(obs_xy)
         if async_ and defer:
-            self._deferred_ba = (sel_ids, pids, prob, ba_options, n_obs)
+            if not getattr(self, "_deferred_ba", None):
+                self._deferred_ba = []
+            self._deferred_ba.append((sel_ids, pids, prob, ba_options, n_obs))
             return None
         if async_:
             handle = bundle_adjust_async(prob, ba_options, num_obs=n_obs)
             self._copy_async(handle.fut)
-            self._pending_ba = (sel_ids, pids, handle)
+            self._pending_ba = (getattr(self, "_pending_ba", None) or []) + [
+                (sel_ids, pids, handle)]
             return None
         new_poses, new_points, info = bundle_adjust(prob, ba_options,
                                                     num_obs=n_obs)

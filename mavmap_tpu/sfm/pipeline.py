@@ -69,6 +69,11 @@ class PipelineOptions:
     refine_camera_params: bool = True
     local_ba_refine_camera_params: bool = True
     matcher_backend: str = "auto"  # auto | xla | pallas
+    # Register two consecutive frames per device program (frame B anchors
+    # on device-derived track state from frame A): one pull round-trip per
+    # PAIR. Host gates still veto each frame; failures fall back to the
+    # sequential path. Local BA runs once per committed pair.
+    chain_frames: bool = True
     # Post-pass closure sweeps (beyond the reference): after the first
     # global BA, query every `final_closure_step`-th registered image for
     # NON-neighborhood loop closures (batched candidate registration) and
@@ -123,9 +128,11 @@ class PipelineResult:
         return sum(m.num_proc_images for m in self.mappers)
 
 
-def _local_ba(mapper, opts: PipelineOptions, rot_priors=None):
+def _local_ba(mapper, opts: PipelineOptions, rot_priors=None, drop_last=0):
     reg = sorted(mapper.image_idx_to_id.keys(),
                  key=lambda i: mapper.image_idx_to_id[i])
+    if drop_last:
+        reg = reg[:-drop_last]
     window = reg[-opts.local_ba_window_size:]
     if len(window) <= 2:
         return
@@ -537,6 +544,46 @@ def run_pipeline(
 
         # Sequential step (mapper.cc:1088-1148).
         seq_opts = _mapper_options(opts, num_proc=mapper.num_proc_images)
+        if (opts.chain_frames and not opts.process_prev_prev
+                and idx + 1 <= end
+                and mapper.num_proc_images > 2 * opts.min_track_len
+                and prev_idx is not None
+                and mapper.is_image_processed(prev_idx)
+                and not mapper.is_image_processed(idx)
+                and not mapper.is_image_processed(idx + 1)):
+            okA, okB = mapper.process_chain(idx, idx + 1, prev_idx,
+                                            seq_opts, debug=opts.debug)
+            if okA:
+                if opts.verbose:
+                    print(f"Processed image #{idx} "
+                          f"(points3D={mapper.store.num_points3D})")
+                count_since_loop += 1
+                prev_idx = idx
+                num_skipped = 0
+                idx += 1
+                if okB:
+                    if opts.verbose:
+                        print(f"Processed image #{idx} "
+                              f"(points3D={mapper.store.num_points3D})")
+                    count_since_loop += 1
+                    prev_idx = idx
+                    idx += 1
+                    # Per-frame local-BA cadence like the reference: one
+                    # window solve per frame, both deferred onto the
+                    # device stream behind the next register program.
+                    _local_ba(mapper, opts, rot_priors, drop_last=1)
+                _local_ba(mapper, opts, rot_priors)
+                if opts.loop_detection and \
+                        count_since_loop >= opts.loop_detection_period:
+                    mapper.detect_loop(
+                        prev_idx, num_images=opts.loop_detection_num_images,
+                        num_nh_images=opts.loop_detection_num_nh_images,
+                        nh_distance=opts.loop_detection_nh_dist,
+                        options=seq_opts, verbose=opts.verbose)
+                    count_since_loop = 0
+                continue
+            # Frame A failed its gates: fall through to the sequential
+            # path (rescue / skip / sub-map logic below).
         success = mapper.process(idx, prev_idx, seq_opts, debug=opts.debug)
         if not success and opts.loop_detection:
             # Rescue via loop detection: stop after ONE successful closure,

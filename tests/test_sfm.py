@@ -155,3 +155,52 @@ def test_two_stage_selfcal_large_problem(rng):
     ate, nreg = _ate(m, scene)
     assert nreg == 8
     assert ate < 0.02
+
+
+def test_chained_registration_matches_sequential(rng):
+    """process_chain (two frames per device call, on-device derived anchor
+    state for the second) must register the full sequence with accuracy
+    equivalent to the one-frame-at-a-time path."""
+    scene = make_uav_scene(num_images=12, num_points=2500, relief=10.0,
+                           rows=1, seed=33)
+    feats, _ = render_features(scene, pixel_noise=0.3, clutter=20, seed=33)
+    cap = int(np.ceil(max(len(k) for k, _ in feats) / 256)) * 256
+    opts = SequentialMapperOptions(
+        tri_min_angle=1.0, final_cost_threshold=2.0,
+        essential_ransac_trials=256, p3p_ransac_trials=256)
+    init_opts = SequentialMapperOptions(
+        tri_min_angle=2.0, essential_ransac_trials=256,
+        p3p_ransac_trials=256)
+
+    def build(chained):
+        prov = ArrayFeatureProvider(feats, capacity=cap)
+        m = SequentialMapper(scene.image_cameras, scene.cam_models,
+                             scene.cam_params, prov)
+        assert m.process_initial(0, 1, init_opts)
+        last = 1
+        i = 2
+        while i < 12:
+            if chained and i + 1 < 12:
+                okA, okB = m.process_chain(i, i + 1, last, opts)
+                assert okA
+                last = i + 1 if okB else i
+                i += 2 if okB else 1
+            else:
+                assert m.process(i, last, opts)
+                last = i
+                i += 1
+            reg = sorted(m.image_idx_to_id.keys())
+            window = reg[-8:]
+            if len(window) > 2:
+                m.adjust_bundle(window[2:], window[:2],
+                                ba_options=BAOptions(max_num_iterations=8))
+        m.adjust_global_bundle(BAOptions(max_num_iterations=30))
+        return m
+
+    m_seq = build(chained=False)
+    m_chn = build(chained=True)
+    ate_seq, n_seq = _ate(m_seq, scene)
+    ate_chn, n_chn = _ate(m_chn, scene)
+    assert n_chn == 12 and n_seq == 12
+    assert ate_chn < 0.02, (ate_chn, ate_seq)
+    assert ate_chn < max(2.5 * ate_seq, 0.01)
