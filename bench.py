@@ -28,6 +28,17 @@ def main():
         jax.config.update("jax_platforms", "cpu")
     import jax
 
+    # Persistent compilation cache: a watchdog retry (or a later bench run)
+    # must not re-pay ~2 min of XLA compiles — the round-2 recorded bench
+    # lost its warm number to exactly that.
+    try:
+        cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 ".jax_cache")
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
+
     from mavmap_tpu.ba import BAOptions
     from mavmap_tpu.features import ArrayFeatureProvider
     from mavmap_tpu.sfm import SequentialMapper, SequentialMapperOptions
@@ -52,6 +63,44 @@ def main():
     # Reference-default configuration: intrinsics refined in every local
     # BA (mapper.cc:878-885 defaults refine-camera-params true).
     ba_opts = BAOptions(max_num_iterations=10, refine_camera_params=True)
+
+    def warm_ba_buckets(ba_opts):
+        """Compile the window-BA executable for every bucket shape the
+        measured run can touch: window-8 problems hover across the
+        P∈{1024,2048} × O∈{4096,8192} bucket quanta with the run's RNG, and
+        a first-seen shape mid-measurement costs a ~15 s XLA compile."""
+        from mavmap_tpu.ba import build_problem, bundle_adjust
+
+        rng = np.random.default_rng(3)
+        K = np.zeros((1, 9), np.float32)
+        K[0, :4] = [700.0, 700.0, 400.0, 300.0]
+        for P in (1000, 2000):
+            for O in (4000, 7000):
+                X = (rng.normal(size=(P, 3)) * [4, 4, 2] + [0, 0, 12]
+                     ).astype(np.float32)
+                poses = np.concatenate(
+                    [rng.normal(size=(8, 3)) * 0.01,
+                     np.arange(24).reshape(8, 3) * [0.3, 0, 0]],
+                    axis=1).astype(np.float32)
+                oi = np.repeat(np.arange(8, dtype=np.int32), O // 8)
+                op = np.concatenate(
+                    [rng.permutation(P)[: O // 8].astype(np.int32)
+                     for _ in range(8)])
+                from mavmap_tpu.models import camera as cam2
+                import jax.numpy as jnp
+                from mavmap_tpu.ops.rotation import rotmat_from_rvec as rfr
+                uv = np.zeros((len(oi), 2), np.float32)
+                for i in range(8):
+                    R = np.asarray(rfr(jnp.asarray(poses[i, :3])))
+                    sel = oi == i
+                    Xc = X[op[sel]] @ R.T + poses[i, 3:]
+                    uv[sel] = np.asarray(cam2.world2image(
+                        jnp.asarray(Xc, jnp.float32), 1, jnp.asarray(K[0])))
+                prob = build_problem(
+                    poses, X, K, [1], oi, op,
+                    np.zeros(len(oi), np.int32), uv,
+                    pose_states=[1, 2, 0, 0, 0, 0, 0, 0], bucket=True)
+                bundle_adjust(prob, ba_opts, num_obs=len(oi))
 
     def measure_ba_iter():
         """Dedicated BA timing: one representative local-window problem,
@@ -117,17 +166,23 @@ def main():
                 ba_time += time.time() - t0
                 ba_iters += int(info["iterations"]) if info else 0
 
+        CHAIN = 4
         i = 2
         while i < n_images:
-            # Chained pairs: one pull round-trip per TWO frames.
-            if i + 1 < n_images and not m.is_image_processed(i):
-                okA, okB = m.process_chain(i, i + 1, last, opts)
-                if okA:
-                    last = i + 1 if okB else i
-                    if okB:
-                        local_ba(drop_last=1)  # per-frame BA cadence
+            # Chained frames: one pull round-trip per CHAIN frames.
+            chain = [j for j in range(i, min(i + CHAIN, n_images))
+                     if not m.is_image_processed(j)]
+            if len(chain) >= 2 and chain == list(range(chain[0], chain[-1] + 1)):
+                oks = m.process_chain_k(chain, last, opts, pad_to=CHAIN)
+                committed = sum(oks)
+                if committed:
+                    last = chain[committed - 1]
+                    # One window solve per chain: the window-8 problem
+                    # covers every frame the chain added; per-frame
+                    # cadence would run 4 nested-subset solves (~150 ms
+                    # of device BA per chain) for the same final window.
                     local_ba()
-                    i += 2 if okB else 1
+                    i = last + 1
                     continue
             if m.process(i, last, opts):
                 last = i
@@ -141,6 +196,7 @@ def main():
     # Warmup: compile every kernel/BA-bucket shape with a full-length run
     # (production sequences are long; compilation amortizes to zero).
     run(NUM_IMAGES, seed=0)
+    warm_ba_buckets(ba_opts)
 
     t0 = time.time()
     m, ba_time, ba_iters = run(NUM_IMAGES, seed=1)
@@ -190,7 +246,9 @@ def _watchdog_main():
         try:
             proc = subprocess.run(
                 [sys.executable, __file__, "--inner"],
-                timeout=420, capture_output=True, text=True, env=env,
+                # Cold-cache compiles over the axon tunnel alone run ~6
+                # min; give the first attempts headroom.
+                timeout=700, capture_output=True, text=True, env=env,
             )
             out_lines = [l for l in proc.stdout.splitlines() if l.startswith("{")]
             sys.stderr.write(proc.stderr)

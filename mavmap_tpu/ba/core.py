@@ -1137,8 +1137,6 @@ def total_cost_selfcal(prob: BAProblem, poses, points, cam_params, scale):
 
 @partial(jax.jit, static_argnames=("max_iters", "solver", "cg_max_iters",
                                    "backend"))
-@partial(jax.jit, static_argnames=("max_iters", "solver", "cg_max_iters",
-                                   "backend"))
 def _lm_loop_selfcal(prob: BAProblem, cam_free, scale, lambda_init, lambda_up,
                      lambda_down, function_tolerance, max_iters: int,
                      solver: str = "dense", cg_max_iters: int = 100,

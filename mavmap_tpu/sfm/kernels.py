@@ -343,85 +343,111 @@ def unpack_register(rows, scalars) -> RegisterResult:
     )
 
 
+def _derive_chain_state(rows, scalars, prev_xyz, prev_has_tri, prev_len,
+                        tri_nt, min_tri_angle, min_track_len):
+    """Device replica of the commit's track rules (mapper._register_commit):
+    derive the NEXT frame's anchor state from a register_view result —
+    continue a track if the existing 3-D point reprojects well in the new
+    frame; else a new triangulation must pass both reprojection gates, the
+    folded angle, and positive depths.
+
+    Returns (xyz, has_tri, stable, lens, rvec, tvec) in the new frame's
+    row space."""
+    F = prev_xyz.shape[0]
+    matches = rows[:, 0].astype(jnp.int32)
+    valid = rows[:, 1] > 0.5
+    track_err = rows[:, 3]
+    ep, ec = rows[:, 4], rows[:, 5]
+    ang = rows[:, 6]
+    dpv, dcv = rows[:, 7], rows[:, 8]
+    Xnew = rows[:, 9:12]
+    rvec, tvec = scalars[7:10], scalars[10:13]
+
+    angf = jnp.minimum(ang, jnp.pi - ang)
+    cont = valid & prev_has_tri & (track_err < tri_nt)
+    new = (valid & ~prev_has_tri & (ep < tri_nt) & (ec < tri_nt)
+           & (angf >= min_tri_angle) & (dpv > 0) & (dcv > 0))
+    got = cont | new
+    src_xyz = jnp.where(cont[:, None], prev_xyz, Xnew)
+    src_len = jnp.where(cont, prev_len + 1, 2)
+
+    # Scatter prev-row state into new-frame row space (matches are
+    # injective on valid rows — mutual cross-check); invalid rows scatter
+    # out of range and drop.
+    tgt = jnp.where(valid, matches, F)
+    xyz = jnp.zeros((F, 3), prev_xyz.dtype).at[tgt].set(
+        jnp.where(got[:, None], src_xyz, 0.0), mode="drop")
+    has_tri = jnp.zeros(F, bool).at[tgt].set(got, mode="drop")
+    lens = jnp.zeros(F, jnp.int32).at[tgt].set(
+        jnp.where(got, src_len, 0), mode="drop")
+    stable = has_tri & (lens >= min_track_len)
+    return xyz, has_tri, stable, lens, rvec, tvec
+
+
 @partial(jax.jit, static_argnames=("p3p_trials", "hom_trials",
                                    "refine_iters", "matcher"))
-def register_chain2(
-    keys,
-    kp_p, d_p, m_p, n_p,
-    kpA, dA, mA, nA,
-    kpB, dB, mB, nB,
+def register_chain(
+    keys,                     # (K,) PRNG keys, one per chain frame
+    kp_p, d_p, m_p, n_p,      # anchor (last processed) frame features
+    kps, ds, ms, ns,          # (K, F, ...) stacked chain-frame features
     prev_xyz, prev_has_tri, prev_stable, prev_len,
     prev_rvec, prev_tvec,
-    cam_paramsA, cam_modelA, cam_paramsB, cam_modelB,
-    ratio, max_distance, norm_thresholdA, norm_thresholdB,
-    tri_ntA, min_tri_angle, min_track_len,
+    cam_params, cam_models,   # (K, 9) / (K,) per chain frame
+    ratio, max_distance,
+    norm_thresholds,          # (K,) RANSAC thresholds (normalized)
+    tri_nts,                  # (K,) triangulation reproj thresholds
+    min_tri_angle, min_track_len,
     p3p_trials: int = 512,
     hom_trials: int = 128,
     refine_iters: int = 30,
     matcher: str = "xla",
 ):
-    """TWO consecutive frame registrations in ONE device program: frame B
-    anchors on track state DERIVED ON DEVICE from frame A's results (a
-    replica of the host commit rules in mapper._register_commit), so the
-    sequential loop pulls once per TWO frames — on a remote-attached TPU
-    the ~26 ms pull round-trip is the per-frame floor otherwise.
+    """K consecutive frame registrations in ONE device program: frame k
+    anchors on track state DERIVED ON DEVICE from frame k-1's results
+    (`_derive_chain_state`), so the sequential loop pulls once per K
+    frames — on a remote-attached TPU the ~26 ms pull round-trip is the
+    per-frame floor otherwise.
 
-    The derived state only steers B's registration (which 2D-3D pairs
-    feed P3P/refinement); the committed map still comes from the host's
-    own bookkeeping, so a derivation mismatch can only degrade B's pose
-    estimate, never corrupt the map. Host gates still veto each frame.
+    The derived state only steers each frame's registration (which 2D-3D
+    pairs feed P3P/refinement); the committed map still comes from the
+    host's own bookkeeping, so a derivation mismatch can only degrade a
+    pose estimate, never corrupt the map. Host gates still veto each
+    frame, and a mid-chain gate failure sends the remaining frames back
+    through the normal path.
 
-    Returns (rowsA, scalarsA, has_triA, rowsB, scalarsB).
+    The K register_view bodies run as one lax.scan (one compile of the
+    body regardless of K). Returns (rows (K,F,12), scalars (K,13),
+    has_tri_in (K,F)) where has_tri_in[k] is the anchor has_tri state
+    frame k registered against (has_tri_in[0] == prev_has_tri).
     """
-    rowsA, scalarsA = register_view(
-        keys[0], kp_p, d_p, m_p, n_p, kpA, dA, mA, nA,
-        prev_xyz, prev_has_tri, prev_stable, prev_rvec, prev_tvec,
-        cam_paramsA, cam_modelA, ratio, max_distance, norm_thresholdA,
-        p3p_trials=p3p_trials, hom_trials=hom_trials,
-        refine_iters=refine_iters, matcher=matcher,
+
+    def step(carry, xs):
+        kp0, d0, m0, n0, xyz, has_tri, stable, lens, rvec, tvec = carry
+        key, kp1, d1, m1, n1, cp, cm, nt, tri_nt = xs
+        rows, scalars = register_view(
+            key, kp0, d0, m0, n0, kp1, d1, m1, n1,
+            xyz, has_tri, stable, rvec, tvec, cp, cm,
+            ratio, max_distance, nt,
+            p3p_trials=p3p_trials, hom_trials=hom_trials,
+            refine_iters=refine_iters, matcher=matcher,
+        )
+        nxyz, nht, nst, nlen, nrv, ntv = _derive_chain_state(
+            rows, scalars, xyz, has_tri, lens, tri_nt, min_tri_angle,
+            min_track_len,
+        )
+        return ((kp1, d1, m1, n1, nxyz, nht, nst, nlen, nrv, ntv),
+                (rows, scalars, has_tri))
+
+    carry0 = (kp_p, d_p, m_p, n_p,
+              prev_xyz, prev_has_tri, prev_stable,
+              prev_len.astype(jnp.int32),
+              prev_rvec, prev_tvec)
+    _, (rows_all, scalars_all, has_tri_in) = jax.lax.scan(
+        step, carry0,
+        (keys, kps, ds, ms, ns, cam_params, cam_models,
+         norm_thresholds, tri_nts),
     )
-
-    F = kpA.shape[0]
-    matchesA = rowsA[:, 0].astype(jnp.int32)
-    validA = rowsA[:, 1] > 0.5
-    track_err = rowsA[:, 3]
-    ep, ec = rowsA[:, 4], rowsA[:, 5]
-    ang = rowsA[:, 6]
-    dpv, dcv = rowsA[:, 7], rowsA[:, 8]
-    XnewA = rowsA[:, 9:12]
-    rvecA, tvecA = scalarsA[7:10], scalarsA[10:13]
-
-    # Device replica of the commit's track rules (mapper._register_commit):
-    # continue if the existing 3-D point reprojects well in A; else a new
-    # triangulation must pass both reprojection gates, the folded angle,
-    # and positive depths.
-    angf = jnp.minimum(ang, jnp.pi - ang)
-    cont = validA & prev_has_tri & (track_err < tri_ntA)
-    new = (validA & ~prev_has_tri & (ep < tri_ntA) & (ec < tri_ntA)
-           & (angf >= min_tri_angle) & (dpv > 0) & (dcv > 0))
-    got = cont | new
-    src_xyz = jnp.where(cont[:, None], prev_xyz, XnewA)
-    src_len = jnp.where(cont, prev_len + 1, 2)
-
-    # Scatter prev-row state into A-row space (matches are injective on
-    # valid rows — mutual cross-check); invalid rows scatter out of range
-    # and drop.
-    tgt = jnp.where(validA, matchesA, F)
-    xyzA = jnp.zeros((F, 3), prev_xyz.dtype).at[tgt].set(
-        jnp.where(got[:, None], src_xyz, 0.0), mode="drop")
-    has_triA = jnp.zeros(F, bool).at[tgt].set(got, mode="drop")
-    lenA = jnp.zeros(F, jnp.int32).at[tgt].set(
-        jnp.where(got, src_len, 0), mode="drop")
-    stableA = has_triA & (lenA >= min_track_len)
-
-    rowsB, scalarsB = register_view(
-        keys[1], kpA, dA, mA, nA, kpB, dB, mB, nB,
-        xyzA, has_triA, stableA, rvecA, tvecA,
-        cam_paramsB, cam_modelB, ratio, max_distance, norm_thresholdB,
-        p3p_trials=p3p_trials, hom_trials=hom_trials,
-        refine_iters=refine_iters, matcher=matcher,
-    )
-    return rowsA, scalarsA, has_triA, rowsB, scalarsB
+    return rows_all, scalars_all, has_tri_in
 
 
 @partial(jax.jit, static_argnames=("p3p_trials", "matcher"))

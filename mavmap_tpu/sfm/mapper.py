@@ -464,61 +464,88 @@ class SequentialMapper:
 
     def process_chain(self, idxA, idxB, prev_image_idx,
                       options: SequentialMapperOptions = None, debug=False):
-        """Register TWO consecutive frames in one device call
-        (kernels.register_chain2): frame B anchors on track state derived
-        on device from frame A's results; the pull round-trip — the
-        per-frame floor on a remote-attached TPU — is paid once per pair.
+        """Register TWO consecutive frames in one device call.
 
         Returns (okA, okB). okB is None when frame A failed its gates (B
         was registered against a rejected anchor — the caller must process
         B through the normal path instead)."""
-        from .kernels import register_chain2
+        oks = self.process_chain_k([idxA, idxB], prev_image_idx, options,
+                                   debug=debug)
+        if not oks[0]:
+            return False, None
+        return True, len(oks) > 1 and oks[1]
+
+    def process_chain_k(self, idxs, prev_image_idx,
+                        options: SequentialMapperOptions = None, debug=False,
+                        pad_to=None):
+        """Register K consecutive frames in ONE device call
+        (kernels.register_chain): frame k anchors on track state derived
+        on device from frame k-1's results; the pull round-trip — the
+        per-frame floor on a remote-attached TPU — is paid once per K
+        frames.
+
+        Returns a list of per-frame commit results, truncated at the
+        first failure: [True]*n means the first n frames committed; a
+        trailing False means that frame failed its gates and the frames
+        after it were NOT attempted (their device registrations anchored
+        on a rejected pose — the caller re-processes them through the
+        normal path).
+
+        pad_to: pad the chain to this fixed length by repeating the last
+        frame (its results are discarded) — every call with the same
+        pad_to hits the SAME compiled executable; tail/short chains would
+        otherwise each pay a fresh XLA compile."""
+        from .kernels import register_chain
 
         options = options or SequentialMapperOptions()
         if not self.is_image_processed(prev_image_idx):
             raise ValueError("chain needs a processed previous image")
-        if self.is_image_processed(idxA) or self.is_image_processed(idxB):
-            raise ValueError("chain frames must be unprocessed")
+        for i in idxs:
+            if self.is_image_processed(i):
+                raise ValueError("chain frames must be unprocessed")
 
+        n_real = len(idxs)
+        K = max(pad_to or n_real, n_real)
+        idxs = list(idxs) + [idxs[-1]] * (K - n_real)
         kpp, dp_, mp_, npn = self._device_features(prev_image_idx)
-        kpa, da_, ma_, na_ = self._device_features(idxA)
-        kpb, db_, mb_, nb_ = self._device_features(idxB)
-        ntA = self._norm_threshold(options.ransac_max_reproj_error, idxA)
-        ntB = self._norm_threshold(options.ransac_max_reproj_error, idxB)
-        tri_ntA = self._norm_threshold(options.tri_max_reproj_error, idxA)
-        tri_ntB = self._norm_threshold(options.tri_max_reproj_error, idxB)
+        feats = [self._device_features(i) for i in idxs]
+        nts = [self._norm_threshold(options.ransac_max_reproj_error, i)
+               for i in idxs]
+        tri_nts = [self._norm_threshold(options.tri_max_reproj_error, i)
+                   for i in idxs]
 
         prev_p2d, has_tri, stable, xyz, prev_rvec, prev_tvec, lens = (
             self._prev_track_state(prev_image_idx, options)
         )
-        ciA = self.image_cameras[idxA]
-        ciB = self.image_cameras[idxB]
+        cis = [self.image_cameras[i] for i in idxs]
 
-        # Chained scheduling differs from process(): the previous pair's
+        # Chained scheduling differs from process(): the previous chain's
         # deferred window solves go on the stream BEFORE this chain kernel
-        # and are pulled WITH it — one pair of anchor staleness instead of
-        # two (measured 2x ATE drift with the extra pair). They had the
-        # previous pull's return trip + commit window to run, so the wait
-        # here is small.
+        # and are pulled WITH it — one chain of anchor staleness instead
+        # of two (measured 2x ATE drift with the extra chain). They had
+        # the previous pull's return trip + commit window to run, so the
+        # wait here is small.
         self._pending_ba = ((getattr(self, "_pending_ba", None) or [])
                             + self._dispatch_deferred_ba())
 
-        out = register_chain2(
-            jax.random.split(self._next_key(), 2),
+        out = register_chain(
+            jax.random.split(self._next_key(), K),
             kpp, dp_, mp_, npn,
-            kpa, da_, ma_, na_,
-            kpb, db_, mb_, nb_,
+            jnp.stack([f[0] for f in feats]),
+            jnp.stack([f[1] for f in feats]),
+            jnp.stack([f[2] for f in feats]),
+            jnp.stack([f[3] for f in feats]),
             jnp.asarray(xyz), jnp.asarray(has_tri), jnp.asarray(stable),
             jnp.asarray(lens),
             jnp.asarray(prev_rvec, jnp.float32),
             jnp.asarray(prev_tvec, jnp.float32),
-            jnp.asarray(self.cam_params[ciA]), jnp.asarray(self.cam_models[ciA]),
-            jnp.asarray(self.cam_params[ciB]), jnp.asarray(self.cam_models[ciB]),
+            jnp.asarray(self.cam_params[cis]),
+            jnp.asarray(self.cam_models[cis]),
             jnp.float32(options.match_max_ratio),
             jnp.float32(options.match_max_distance
                         if options.match_max_distance > 0 else 1e9),
-            jnp.float32(ntA), jnp.float32(ntB),
-            jnp.float32(tri_ntA),
+            jnp.asarray(nts, jnp.float32),
+            jnp.asarray(tri_nts, jnp.float32),
             jnp.float32(options.tri_min_angle * np.pi / 180.0),
             jnp.asarray(options.min_track_len, jnp.int32),
             p3p_trials=options.p3p_ransac_trials,
@@ -527,29 +554,30 @@ class SequentialMapper:
         # Same overlap scheduling as process(): d2h first, deferred BA
         # behind it, pull everything (+ pending BA) in one device_get.
         self._copy_async(out)
-        rowsA, scalarsA, has_triA, rowsB, scalarsB = (
-            self._pull_with_pending(out))
+        rows_all, scalars_all, has_tri_in = self._pull_with_pending(out)
 
-        rA = unpack_register(rowsA, scalarsA)
-        okA = self._register_gates(idxA, prev_image_idx, rA, options,
-                                   debug=debug)
-        if okA:
-            okA = self._register_commit(idxA, prev_image_idx, rA, options,
-                                        prev_p2d, has_tri, tri_ntA,
-                                        debug=debug)
-        if not okA:
-            return False, None
-
-        rB = unpack_register(rowsB, scalarsB)
-        okB = self._register_gates(idxB, idxA, rB, options, debug=debug)
-        if okB:
-            # B's commit classifies rows with the SAME derived has_tri the
-            # device used; A's p2d ids exist now (A just committed).
-            a_p2d = self.store.point2D_ids_of_image(self.image_idx_to_id[idxA])
-            okB = self._register_commit(idxB, idxA, rB, options,
-                                        a_p2d, has_triA > 0.5, tri_ntB,
-                                        debug=debug)
-        return okA, bool(okB)
+        oks = []
+        anchor_idx = prev_image_idx
+        anchor_p2d, anchor_has_tri = prev_p2d, has_tri
+        for k, idx in enumerate(idxs[:n_real]):
+            r = unpack_register(rows_all[k], scalars_all[k])
+            ok = self._register_gates(idx, anchor_idx, r, options,
+                                      debug=debug)
+            if ok:
+                # Commit classifies rows with the SAME derived has_tri the
+                # device used; the anchor's p2d ids exist (it committed).
+                ok = self._register_commit(idx, anchor_idx, r, options,
+                                           anchor_p2d, anchor_has_tri,
+                                           tri_nts[k], debug=debug)
+            oks.append(bool(ok))
+            if not ok:
+                break
+            if k + 1 < n_real:
+                anchor_idx = idx
+                anchor_p2d = self.store.point2D_ids_of_image(
+                    self.image_idx_to_id[idx])
+                anchor_has_tri = has_tri_in[k + 1] > 0.5
+        return oks
 
     def _register_gates(self, image_idx, prev_image_idx, r, options,
                         debug=False):
@@ -1161,10 +1189,10 @@ class SequentialMapper:
 
         if async_ and defer:
             # Don't block on in-flight solves; deferred problems queue (a
-            # chained frame pair defers one window BA per frame). Bound the
-            # queue: past 4 stashed problems something is wrong upstream —
+            # chained frame run defers one window BA per frame). Bound the
+            # queue: past 8 stashed problems something is wrong upstream —
             # land them before snapshotting state.
-            if len(getattr(self, "_deferred_ba", None) or []) >= 4:
+            if len(getattr(self, "_deferred_ba", None) or []) >= 8:
                 self.flush_ba()
         else:
             self.flush_ba()  # results of a previous async solve land first

@@ -69,11 +69,13 @@ class PipelineOptions:
     refine_camera_params: bool = True
     local_ba_refine_camera_params: bool = True
     matcher_backend: str = "auto"  # auto | xla | pallas
-    # Register two consecutive frames per device program (frame B anchors
-    # on device-derived track state from frame A): one pull round-trip per
-    # PAIR. Host gates still veto each frame; failures fall back to the
-    # sequential path. Local BA runs once per committed pair.
+    # Register `chain_len` consecutive frames per device program (frame k
+    # anchors on device-derived track state from frame k-1): one pull
+    # round-trip per CHAIN. Host gates still veto each frame; failures
+    # fall back to the sequential path. Local BA runs once per committed
+    # frame (deferred onto the device stream behind the next chain).
     chain_frames: bool = True
+    chain_len: int = 4
     # Post-pass closure sweeps (beyond the reference): after the first
     # global BA, query every `final_closure_step`-th registered image for
     # NON-neighborhood loop closures (batched candidate registration) and
@@ -544,34 +546,35 @@ def run_pipeline(
 
         # Sequential step (mapper.cc:1088-1148).
         seq_opts = _mapper_options(opts, num_proc=mapper.num_proc_images)
+        chain = []
         if (opts.chain_frames and not opts.process_prev_prev
-                and idx + 1 <= end
+                and opts.chain_len >= 2
                 and mapper.num_proc_images > 2 * opts.min_track_len
                 and prev_idx is not None
-                and mapper.is_image_processed(prev_idx)
-                and not mapper.is_image_processed(idx)
-                and not mapper.is_image_processed(idx + 1)):
-            okA, okB = mapper.process_chain(idx, idx + 1, prev_idx,
-                                            seq_opts, debug=opts.debug)
-            if okA:
-                if opts.verbose:
-                    print(f"Processed image #{idx} "
-                          f"(points3D={mapper.store.num_points3D})")
-                count_since_loop += 1
-                prev_idx = idx
-                num_skipped = 0
-                idx += 1
-                if okB:
+                and mapper.is_image_processed(prev_idx)):
+            for j in range(idx, min(idx + opts.chain_len, end + 1)):
+                if mapper.is_image_processed(j):
+                    break
+                chain.append(j)
+        if len(chain) >= 2:
+            oks = mapper.process_chain_k(chain, prev_idx, seq_opts,
+                                         debug=opts.debug,
+                                         pad_to=opts.chain_len)
+            committed = sum(oks)
+            if committed:
+                for j in chain[:committed]:
                     if opts.verbose:
-                        print(f"Processed image #{idx} "
+                        print(f"Processed image #{j} "
                               f"(points3D={mapper.store.num_points3D})")
-                    count_since_loop += 1
-                    prev_idx = idx
-                    idx += 1
-                    # Per-frame local-BA cadence like the reference: one
-                    # window solve per frame, both deferred onto the
-                    # device stream behind the next register program.
-                    _local_ba(mapper, opts, rot_priors, drop_last=1)
+                count_since_loop += committed
+                prev_idx = chain[committed - 1]
+                num_skipped = 0
+                idx = prev_idx + 1
+                # One window solve per chain (deferred onto the device
+                # stream behind the next register program): the window
+                # problem covers every frame the chain added; per-frame
+                # cadence would run `committed` nested-subset solves for
+                # the same final window at 4x the device-BA cost.
                 _local_ba(mapper, opts, rot_priors)
                 if opts.loop_detection and \
                         count_since_loop >= opts.loop_detection_period:
@@ -582,8 +585,8 @@ def run_pipeline(
                         options=seq_opts, verbose=opts.verbose)
                     count_since_loop = 0
                 continue
-            # Frame A failed its gates: fall through to the sequential
-            # path (rescue / skip / sub-map logic below).
+            # The chain's first frame failed its gates: fall through to
+            # the sequential path (rescue / skip / sub-map logic below).
         success = mapper.process(idx, prev_idx, seq_opts, debug=opts.debug)
         if not success and opts.loop_detection:
             # Rescue via loop detection: stop after ONE successful closure,

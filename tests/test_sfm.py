@@ -158,9 +158,9 @@ def test_two_stage_selfcal_large_problem(rng):
 
 
 def test_chained_registration_matches_sequential(rng):
-    """process_chain (two frames per device call, on-device derived anchor
-    state for the second) must register the full sequence with accuracy
-    equivalent to the one-frame-at-a-time path."""
+    """process_chain_k (K frames per device call, on-device derived anchor
+    state for frames 2..K) must register the full sequence with accuracy
+    equivalent to the one-frame-at-a-time path — at K=2 and K=4."""
     scene = make_uav_scene(num_images=12, num_points=2500, relief=10.0,
                            rows=1, seed=33)
     feats, _ = render_features(scene, pixel_noise=0.3, clutter=20, seed=33)
@@ -172,7 +172,7 @@ def test_chained_registration_matches_sequential(rng):
         tri_min_angle=2.0, essential_ransac_trials=256,
         p3p_ransac_trials=256)
 
-    def build(chained):
+    def build(chain_len):
         prov = ArrayFeatureProvider(feats, capacity=cap)
         m = SequentialMapper(scene.image_cameras, scene.cam_models,
                              scene.cam_params, prov)
@@ -180,11 +180,12 @@ def test_chained_registration_matches_sequential(rng):
         last = 1
         i = 2
         while i < 12:
-            if chained and i + 1 < 12:
-                okA, okB = m.process_chain(i, i + 1, last, opts)
-                assert okA
-                last = i + 1 if okB else i
-                i += 2 if okB else 1
+            chain = list(range(i, min(i + chain_len, 12)))
+            if len(chain) >= 2:
+                oks = m.process_chain_k(chain, last, opts)
+                assert all(oks), oks
+                last = chain[-1]
+                i = last + 1
             else:
                 assert m.process(i, last, opts)
                 last = i
@@ -197,10 +198,12 @@ def test_chained_registration_matches_sequential(rng):
         m.adjust_global_bundle(BAOptions(max_num_iterations=30))
         return m
 
-    m_seq = build(chained=False)
-    m_chn = build(chained=True)
+    m_seq = build(chain_len=1)
     ate_seq, n_seq = _ate(m_seq, scene)
-    ate_chn, n_chn = _ate(m_chn, scene)
-    assert n_chn == 12 and n_seq == 12
-    assert ate_chn < 0.02, (ate_chn, ate_seq)
-    assert ate_chn < max(2.5 * ate_seq, 0.01)
+    assert n_seq == 12
+    for K in (2, 4):
+        m_chn = build(chain_len=K)
+        ate_chn, n_chn = _ate(m_chn, scene)
+        assert n_chn == 12
+        assert ate_chn < 0.02, (K, ate_chn, ate_seq)
+        assert ate_chn < max(2.5 * ate_seq, 0.01), (K, ate_chn, ate_seq)
