@@ -384,6 +384,29 @@ def _derive_chain_state(rows, scalars, prev_xyz, prev_has_tri, prev_len,
     return xyz, has_tri, stable, lens, rvec, tvec
 
 
+@jax.jit
+def gather_fresh_anchor(ba_poses, ba_points, anchor_row, xyz_rows,
+                        rvec0, tvec0, xyz0):
+    """Override stale host-staged anchor state with the output buffers of
+    the window-BA solve that is already on the device stream (dispatched
+    just before the chain kernel): the solve's refined anchor pose and
+    3-D points flow into the next chain WITHOUT a host round-trip, so
+    chained registration anchors on BA-fresh state instead of state one
+    window solve stale (measured 3x ATE drift with the stale anchors).
+
+    ba_poses (S,6)/ba_points (P,3) are the LM loop's device outputs;
+    anchor_row is the anchor image's row in ba_poses (-1 = not in the
+    problem); xyz_rows (F,) maps anchor feature rows to ba_points rows
+    (-1 = keep the host value)."""
+    fresh = anchor_row >= 0
+    ar = jnp.maximum(anchor_row, 0)
+    rvec = jnp.where(fresh, ba_poses[ar, :3], rvec0)
+    tvec = jnp.where(fresh, ba_poses[ar, 3:], tvec0)
+    xr = jnp.maximum(xyz_rows, 0)
+    xyz = jnp.where((xyz_rows >= 0)[:, None], ba_points[xr], xyz0)
+    return rvec, tvec, xyz
+
+
 @partial(jax.jit, static_argnames=("p3p_trials", "hom_trials",
                                    "refine_iters", "matcher"))
 def register_chain(

@@ -495,7 +495,7 @@ class SequentialMapper:
         frame (its results are discarded) — every call with the same
         pad_to hits the SAME compiled executable; tail/short chains would
         otherwise each pay a fresh XLA compile."""
-        from .kernels import register_chain
+        from .kernels import register_chain, gather_fresh_anchor
 
         options = options or SequentialMapperOptions()
         if not self.is_image_processed(prev_image_idx):
@@ -525,8 +525,36 @@ class SequentialMapper:
         # of two (measured 2x ATE drift with the extra chain). They had
         # the previous pull's return trip + commit window to run, so the
         # wait here is small.
+        handles = self._dispatch_deferred_ba()
         self._pending_ba = ((getattr(self, "_pending_ba", None) or [])
-                            + self._dispatch_deferred_ba())
+                            + handles)
+
+        # Anchor freshness: the solve just enqueued refines the anchor's
+        # pose and most of its 3-D points, but its results only reach the
+        # host store AFTER this chain's pull. Feed them into the chain
+        # directly on device (kernels.gather_fresh_anchor) — the host
+        # staged values above are one window solve stale otherwise.
+        prev_rvec_d = jnp.asarray(prev_rvec, jnp.float32)
+        prev_tvec_d = jnp.asarray(prev_tvec, jnp.float32)
+        xyz_d = jnp.asarray(xyz)
+        if handles:
+            sel_ids_h, pids_h, h = handles[-1]
+            prev_id = self.image_idx_to_id[prev_image_idx]
+            anchor_row = (sel_ids_h.index(prev_id)
+                          if prev_id in sel_ids_h else -1)
+            if anchor_row >= 0 and len(pids_h):
+                F = self.provider.capacity
+                p3d = self.store.point2D_point3D[prev_p2d]
+                loc = np.searchsorted(pids_h, np.maximum(p3d, 0))
+                loc = np.minimum(loc, len(pids_h) - 1)
+                ok = has_tri[: len(prev_p2d)] & (p3d >= 0) & (
+                    pids_h[loc] == p3d)
+                xyz_rows = np.full(F, -1, np.int32)
+                xyz_rows[: len(prev_p2d)][ok] = loc[ok]
+                prev_rvec_d, prev_tvec_d, xyz_d = gather_fresh_anchor(
+                    h.fut[0], h.fut[1], jnp.int32(anchor_row),
+                    jnp.asarray(xyz_rows), prev_rvec_d, prev_tvec_d, xyz_d,
+                )
 
         out = register_chain(
             jax.random.split(self._next_key(), K),
@@ -535,10 +563,10 @@ class SequentialMapper:
             jnp.stack([f[1] for f in feats]),
             jnp.stack([f[2] for f in feats]),
             jnp.stack([f[3] for f in feats]),
-            jnp.asarray(xyz), jnp.asarray(has_tri), jnp.asarray(stable),
+            xyz_d, jnp.asarray(has_tri), jnp.asarray(stable),
             jnp.asarray(lens),
-            jnp.asarray(prev_rvec, jnp.float32),
-            jnp.asarray(prev_tvec, jnp.float32),
+            prev_rvec_d,
+            prev_tvec_d,
             jnp.asarray(self.cam_params[cis]),
             jnp.asarray(self.cam_models[cis]),
             jnp.float32(options.match_max_ratio),

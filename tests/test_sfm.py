@@ -207,3 +207,48 @@ def test_chained_registration_matches_sequential(rng):
         assert n_chn == 12
         assert ate_chn < 0.02, (K, ate_chn, ate_seq)
         assert ate_chn < max(2.5 * ate_seq, 0.01), (K, ate_chn, ate_seq)
+
+
+def test_chained_registration_deferred_ba_fresh_anchor(rng):
+    """The production chain schedule (bench.py / pipeline): ONE deferred
+    window BA per chain, dispatched at the next chain's start and pulled
+    with its results. The next chain's anchor pose/points must come from
+    the in-flight solve's device buffers (kernels.gather_fresh_anchor) —
+    with stale host anchors this drifts ~3x."""
+    scene = make_uav_scene(num_images=14, num_points=2500, relief=10.0,
+                           rows=1, seed=34)
+    feats, _ = render_features(scene, pixel_noise=0.3, clutter=20, seed=34)
+    cap = int(np.ceil(max(len(k) for k, _ in feats) / 256)) * 256
+    opts = SequentialMapperOptions(
+        tri_min_angle=1.0, final_cost_threshold=2.0,
+        essential_ransac_trials=256, p3p_ransac_trials=256)
+    init_opts = SequentialMapperOptions(
+        tri_min_angle=2.0, essential_ransac_trials=256,
+        p3p_ransac_trials=256)
+    ba_opts = BAOptions(max_num_iterations=8)
+
+    prov = ArrayFeatureProvider(feats, capacity=cap)
+    m = SequentialMapper(scene.image_cameras, scene.cam_models,
+                         scene.cam_params, prov)
+    assert m.process_initial(0, 1, init_opts)
+    last, i = 1, 2
+    while i < 14:
+        chain = list(range(i, min(i + 4, 14)))
+        if len(chain) >= 2:
+            oks = m.process_chain_k(chain, last, opts, pad_to=4)
+            assert all(oks), oks
+            last = chain[-1]
+        else:
+            assert m.process(chain[0], last, opts)
+            last = chain[0]
+        i = last + 1
+        reg = sorted(m.image_idx_to_id.keys())
+        window = reg[-8:]
+        if len(window) > 2:
+            m.adjust_bundle(window[2:], window[:2], ba_options=ba_opts,
+                            async_=True, defer=True)
+    m.flush_ba()
+    m.adjust_global_bundle(BAOptions(max_num_iterations=30))
+    ate, nreg = _ate(m, scene)
+    assert nreg == 14
+    assert ate < 0.02, ate
