@@ -61,12 +61,16 @@ def main():
         essential_ransac_trials=512, p3p_ransac_trials=512,
     )
     # Reference-default configuration: intrinsics refined in every local
-    # BA (mapper.cc:878-885 defaults refine-camera-params true).
-    ba_opts = BAOptions(max_num_iterations=10, refine_camera_params=True)
+    # BA (mapper.cc:878-885 defaults refine-camera-params true). 6 LM
+    # iterations per window solve: the deferred window solves re-cover the
+    # same frames every chain and the final global BA lands ATE ~0.010 m
+    # regardless (benchmarks/chain_ate_ab.py sweep) — 10 iters only adds
+    # ~30 ms/chain of device time.
+    ba_opts = BAOptions(max_num_iterations=6, refine_camera_params=True)
 
     def warm_ba_buckets(ba_opts):
         """Compile the window-BA executable for every bucket shape the
-        measured run can touch: window-8 problems hover across the
+        measured run can touch: window-10 problems hover across the
         P∈{1024,2048} × O∈{4096,8192} bucket quanta with the run's RNG, and
         a first-seen shape mid-measurement costs a ~15 s XLA compile."""
         from mavmap_tpu.ba import build_problem, bundle_adjust
@@ -78,19 +82,20 @@ def main():
             for O in (4000, 7000):
                 X = (rng.normal(size=(P, 3)) * [4, 4, 2] + [0, 0, 12]
                      ).astype(np.float32)
+                W = 10
                 poses = np.concatenate(
-                    [rng.normal(size=(8, 3)) * 0.01,
-                     np.arange(24).reshape(8, 3) * [0.3, 0, 0]],
+                    [rng.normal(size=(W, 3)) * 0.01,
+                     np.arange(3 * W).reshape(W, 3) * [0.3, 0, 0]],
                     axis=1).astype(np.float32)
-                oi = np.repeat(np.arange(8, dtype=np.int32), O // 8)
+                oi = np.repeat(np.arange(W, dtype=np.int32), O // W)
                 op = np.concatenate(
-                    [rng.permutation(P)[: O // 8].astype(np.int32)
-                     for _ in range(8)])
+                    [rng.permutation(P)[: O // W].astype(np.int32)
+                     for _ in range(W)])
                 from mavmap_tpu.models import camera as cam2
                 import jax.numpy as jnp
                 from mavmap_tpu.ops.rotation import rotmat_from_rvec as rfr
                 uv = np.zeros((len(oi), 2), np.float32)
-                for i in range(8):
+                for i in range(W):
                     R = np.asarray(rfr(jnp.asarray(poses[i, :3])))
                     sel = oi == i
                     Xc = X[op[sel]] @ R.T + poses[i, 3:]
@@ -99,7 +104,8 @@ def main():
                 prob = build_problem(
                     poses, X, K, [1], oi, op,
                     np.zeros(len(oi), np.int32), uv,
-                    pose_states=[1, 2, 0, 0, 0, 0, 0, 0], bucket=True)
+                    pose_states=[1, 2] + [0] * (W - 2), bucket=True,
+                    host=True)
                 bundle_adjust(prob, ba_opts, num_obs=len(oi))
 
     def measure_ba_iter():
@@ -132,7 +138,7 @@ def main():
             uv += list(u[sel])
         prob = build_problem(poses, X, K, [1], np.array(oi), np.array(op),
                              np.zeros(len(oi), np.int32), np.array(uv),
-                             pose_states=[1, 2, 0, 0, 0, 0, 0, 0], bucket=True)
+                             pose_states=[1, 2] + [0] * (I - 2), bucket=True)
         import jax as _jax
         prob = _jax.device_put(prob)
         args = (jnp.float32(1.0), 1e-4, 10.0, 0.5, 0.0)  # tol 0: run all iters
@@ -157,7 +163,7 @@ def main():
             reg = sorted(m.image_idx_to_id.keys())
             if drop_last:
                 reg = reg[:-drop_last]
-            window = reg[-8:]
+            window = reg[-10:]
             if len(window) > 2:
                 t0 = time.time()
                 info = m.adjust_bundle(window[2:], window[:2],
@@ -166,7 +172,7 @@ def main():
                 ba_time += time.time() - t0
                 ba_iters += int(info["iterations"]) if info else 0
 
-        CHAIN = 4
+        CHAIN = 6
         i = 2
         while i < n_images:
             # Chained frames: one pull round-trip per CHAIN frames.
@@ -191,6 +197,12 @@ def main():
         info = m.flush_ba()
         if info:
             ba_iters += int(info["iterations"])
+        # Reference-parity finish: the driver always runs a global BA per
+        # mapper at the end (mapper.cc:1188-1191). Windowed-only
+        # trajectories are heavy-tailed (occasional 0.05 m ATE outliers by
+        # seed); the global solve lands every run at ~0.010 m for ~0.2 s.
+        m.adjust_global_bundle(BAOptions(max_num_iterations=30,
+                                         refine_camera_params=True))
         return m, ba_time, max(ba_iters, 1)
 
     # Warmup: compile every kernel/BA-bucket shape with a full-length run

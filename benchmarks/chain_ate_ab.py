@@ -30,7 +30,6 @@ from mavmap_tpu.ba import BAOptions
 from mavmap_tpu.features import ArrayFeatureProvider
 from mavmap_tpu.sfm import SequentialMapper, SequentialMapperOptions
 from mavmap_tpu.utils.synthetic import make_uav_scene, render_features, mapper_ate
-import mavmap_tpu.sfm.kernels as kernels
 
 NUM_IMAGES = 30
 scene = make_uav_scene(num_images=NUM_IMAGES, num_points=4000, relief=10.0,
@@ -48,22 +47,19 @@ init_opts = SequentialMapperOptions(
     tri_min_angle=4.0, final_cost_threshold=2.0,
     essential_ransac_trials=512, p3p_ransac_trials=512,
 )
-ba_opts = BAOptions(max_num_iterations=10, refine_camera_params=True)
+BA_ITERS = int(os.environ.get("AB_BA_ITERS", "10"))
+ba_opts = BAOptions(max_num_iterations=BA_ITERS, refine_camera_params=True)
 
-_real_gather = kernels.gather_fresh_anchor
-_stale_gather = lambda bp, bpts, ar, xr, rv, tv, xyz: (rv, tv, xyz)
-
-
-def run(seed, chain, fresh):
-    kernels.gather_fresh_anchor = _real_gather if fresh else _stale_gather
+def run(seed, chain, fresh, win=8):
     m = SequentialMapper(scene.image_cameras, scene.cam_models,
                          scene.cam_params, prov, seed=seed)
+    m.fresh_anchor = fresh  # stale = anchor on host-staged (pre-BA) state
     assert m.process_initial(0, 1, init_opts)
     last = 1
 
     def local_ba():
         reg = sorted(m.image_idx_to_id.keys())
-        window = reg[-8:]
+        window = reg[-win:]
         if len(window) > 2:
             m.adjust_bundle(window[2:], window[:2], ba_options=ba_opts,
                             async_=True, defer=True)
@@ -88,9 +84,9 @@ def run(seed, chain, fresh):
     return m
 
 
-def cell(seed, chain, fresh, warm=False):
+def cell(seed, chain, fresh, win=8, warm=False):
     t0 = time.time()
-    m = run(seed, chain, fresh)
+    m = run(seed, chain, fresh, win)
     dt = time.time() - t0
     ate = mapper_ate(m, scene)
     # Reference-parity finish: the driver always runs a global BA per
@@ -102,16 +98,17 @@ def cell(seed, chain, fresh, warm=False):
     ate_gba = mapper_ate(m, scene)
     n = m.num_proc_images
     tag = "warm" if warm else "meas"
-    print(f"[{tag}] chain={chain} fresh={int(fresh)} seed={seed}: "
+    print(f"[{tag}] chain={chain} win={win} ba_iters={BA_ITERS} "
+          f"fresh={int(fresh)} seed={seed}: "
           f"{n}/{NUM_IMAGES} in {dt:.2f}s ({n/dt:.1f} fps) ATE {ate:.4f} m"
           f" | +GBA {dt_gba:.2f}s ATE {ate_gba:.4f} m",
           flush=True)
 
 
-# Warmup compiles for each config shape.
-cell(0, 4, True, warm=True)
-cell(0, 1, True, warm=True)
-
-for seed in (1, 2, 3, 4, 5):
-    cell(seed, 4, True)
-    cell(seed, 4, False)
+# Warmup compiles for each config shape, then sweep chain length x window.
+SWEEP = ((6, 10), (8, 12))
+for chain, win in SWEEP:
+    cell(0, chain, True, win, warm=True)
+for seed in (1, 2, 3):
+    for chain, win in SWEEP:
+        cell(seed, chain, True, win)

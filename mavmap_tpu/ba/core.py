@@ -145,6 +145,7 @@ def build_problem(
     pair_capacity=None,
     bucket=False,
     with_pairs=True,
+    host=False,
 ):
     """Host-side problem construction (numpy in, BAProblem of jnp arrays out).
 
@@ -280,44 +281,106 @@ def build_problem(
     else:
         rot_prior_weight = pad(np.asarray(rot_prior_weight, np.float32), I)
 
-    return BAProblem(
-        poses=jnp.asarray(poses, jnp.float32),
-        points=jnp.asarray(points, jnp.float32),
-        cam_params=jnp.asarray(cam_params, jnp.float32),
-        cam_models=jnp.asarray(cam_models, jnp.int32),
+    prob_np = BAProblem(
+        poses=np.asarray(poses, np.float32),
+        points=np.asarray(points, np.float32),
+        cam_params=np.asarray(cam_params, np.float32),
+        cam_models=np.asarray(cam_models, np.int32),
         # Padding keeps the LAST image index so the combined
         # (point, image) aggregation ids stay sorted.
-        obs_image=jnp.asarray(
-            pad(obs_image, obs_capacity,
-                fill=int(obs_image[-1]) if O else 0)
-        ),
+        obs_image=pad(obs_image, obs_capacity,
+                      fill=int(obs_image[-1]) if O else 0),
         # Padding rows keep the LAST point index so obs_point stays sorted
         # (indices_are_sorted=True in the point-keyed segment sums; masked
         # rows contribute zeros wherever they land).
-        obs_point=jnp.asarray(
-            pad(obs_point, obs_capacity,
-                fill=int(obs_point[-1]) if O else 0)
-        ),
-        obs_cam=jnp.asarray(pad(obs_cam, obs_capacity)),
-        obs_uv=jnp.asarray(pad(obs_uv, obs_capacity)),
-        obs_mask=jnp.asarray(obs_mask),
-        pose_free=jnp.asarray(pose_free),
-        point_free=jnp.asarray(point_free),
-        pair_a=jnp.asarray(pad(pair_a.astype(np.int32), pair_capacity)),
-        pair_b=jnp.asarray(pad(pair_b.astype(np.int32), pair_capacity)),
-        pair_mask=jnp.asarray(pair_mask),
-        rot_prior=jnp.asarray(rot_prior, jnp.float32),
-        rot_prior_weight=jnp.asarray(rot_prior_weight, jnp.float32),
-        img_order=jnp.asarray(img_order_p),
-        obs_image_sorted=jnp.asarray(obs_image_sorted_p),
+        obs_point=pad(obs_point, obs_capacity,
+                      fill=int(obs_point[-1]) if O else 0),
+        obs_cam=pad(obs_cam, obs_capacity),
+        obs_uv=pad(obs_uv, obs_capacity),
+        obs_mask=obs_mask,
+        pose_free=pose_free,
+        point_free=point_free,
+        pair_a=pad(pair_a.astype(np.int32), pair_capacity),
+        pair_b=pad(pair_b.astype(np.int32), pair_capacity),
+        pair_mask=pair_mask,
+        rot_prior=np.asarray(rot_prior, np.float32),
+        rot_prior_weight=np.asarray(rot_prior_weight, np.float32),
+        img_order=img_order_p,
+        obs_image_sorted=obs_image_sorted_p,
         # Padding keeps the LAST dense id (sorted invariant; masked rows
         # contribute zeros wherever they land).
-        obs_point_dense=jnp.asarray(
-            pad(group_id, obs_capacity, fill=int(group_id[-1]) if O else 0)
-        ),
-        point_rows=jnp.asarray(point_rows),
-        point_free_dense=jnp.asarray(point_free_dense),
-        pt_gather_rows=jnp.asarray(pt_gather_rows),
+        obs_point_dense=pad(group_id, obs_capacity,
+                            fill=int(group_id[-1]) if O else 0),
+        point_rows=point_rows,
+        point_free_dense=point_free_dense,
+        pt_gather_rows=np.asarray(pt_gather_rows),
+    )
+    if host:
+        return prob_np
+    return jax.tree.map(jnp.asarray, prob_np)
+
+
+def pack_problem(prob: BAProblem):
+    """Pack a HOST (numpy) BAProblem into 6 consolidated buffers.
+
+    Over a remote-attached TPU every argument buffer of a jitted call
+    costs a tunnel round-trip at dispatch (~1.2 ms/buffer measured, ~30 ms
+    for the 21-field BAProblem — more than the solve itself for window
+    problems). The packed entry points (_lm_loop_packed and the selfcal
+    variant) ship these 6 arrays and rebuild the BAProblem INSIDE the
+    program, where slicing is free.
+    """
+    obs_i = np.stack([
+        prob.obs_image, prob.obs_point, prob.obs_cam,
+        np.asarray(prob.img_order, np.int32), prob.obs_image_sorted,
+        prob.obs_point_dense,
+    ], axis=1).astype(np.int32)                      # (O, 6)
+    obs_f = np.concatenate([
+        prob.obs_uv, prob.obs_mask[:, None].astype(np.float32)
+    ], axis=1).astype(np.float32)                    # (O, 3)
+    img_f = np.concatenate([
+        prob.poses, prob.pose_free, prob.rot_prior,
+        prob.rot_prior_weight[:, None],
+    ], axis=1).astype(np.float32)                    # (I, 16)
+    pt_f = np.concatenate([
+        prob.points, prob.point_free[:, None]
+    ], axis=1).astype(np.float32)                    # (P, 4)
+    ptd_i = np.stack([
+        prob.point_rows, prob.pt_gather_rows,
+        prob.point_free_dense.astype(np.int32),      # 0/1 exact
+    ], axis=1).astype(np.int32)                      # (Pd, 3)
+    cams = np.concatenate([
+        prob.cam_params, prob.cam_models[:, None].astype(np.float32)
+    ], axis=1).astype(np.float32)                    # (C, 10)
+    return obs_i, obs_f, img_f, pt_f, ptd_i, cams
+
+
+def _unpack_problem(obs_i, obs_f, img_f, pt_f, ptd_i, cams) -> BAProblem:
+    """Rebuild the BAProblem from pack_problem's buffers (inside jit)."""
+    Q = 0
+    return BAProblem(
+        poses=img_f[:, :6],
+        points=pt_f[:, :3],
+        cam_params=cams[:, :9],
+        cam_models=cams[:, 9].astype(jnp.int32),
+        obs_image=obs_i[:, 0],
+        obs_point=obs_i[:, 1],
+        obs_cam=obs_i[:, 2],
+        obs_uv=obs_f[:, :2],
+        obs_mask=obs_f[:, 2] > 0.5,
+        pose_free=img_f[:, 6:12],
+        point_free=pt_f[:, 3],
+        pair_a=jnp.zeros(Q, jnp.int32),
+        pair_b=jnp.zeros(Q, jnp.int32),
+        pair_mask=jnp.zeros(Q, bool),
+        rot_prior=img_f[:, 12:15],
+        rot_prior_weight=img_f[:, 15],
+        img_order=obs_i[:, 3],
+        obs_image_sorted=obs_i[:, 4],
+        obs_point_dense=obs_i[:, 5],
+        point_rows=ptd_i[:, 0],
+        point_free_dense=ptd_i[:, 2].astype(jnp.float32),
+        pt_gather_rows=ptd_i[:, 1],
     )
 
 
@@ -1225,12 +1288,59 @@ def _lm_loop(prob: BAProblem, scale, lambda_init, lambda_up, lambda_down,
     return poses, points, cost, init_cost, it
 
 
+# Packed-transport LM entries: a BAProblem shipped field-by-field costs one
+# tunnel round-trip PER BUFFER at dispatch on a remote-attached TPU (~30 ms
+# for 21 fields — comparable to the window solve itself). These wrappers
+# take pack_problem's 6 consolidated buffers, rebuild the problem inside
+# the program, and bake the float hyper-parameters into the executable as
+# statics (they are constant across a mapping run).
+
+_NUM_PARAMS_TABLE = None
+
+
+def _cam_free_in_jit(cam_models):
+    """Per-camera free mask over the 9 padded intrinsics slots, computed
+    in-program (replaces the host-side _selfcal_cam_free buffer)."""
+    global _NUM_PARAMS_TABLE
+    if _NUM_PARAMS_TABLE is None:
+        from ..models.camera import CAMERA_MODEL_NUM_PARAMS
+
+        _NUM_PARAMS_TABLE = np.array(
+            [CAMERA_MODEL_NUM_PARAMS.get(i, 0) for i in range(16)], np.int32
+        )
+    n = jnp.asarray(_NUM_PARAMS_TABLE)[jnp.clip(cam_models, 0, 15)]
+    return (jnp.arange(9)[None, :] < n[:, None]).astype(jnp.float32)
+
+
+@partial(jax.jit, static_argnames=(
+    "scale", "lambda_init", "lambda_up", "lambda_down",
+    "function_tolerance", "max_iters", "solver", "cg_max_iters", "cg_tol",
+    "backend", "selfcal"))
+def _lm_loop_packed(obs_i, obs_f, img_f, pt_f, ptd_i, cams, *,
+                    scale, lambda_init, lambda_up, lambda_down,
+                    function_tolerance, max_iters, solver, cg_max_iters,
+                    cg_tol, backend, selfcal):
+    prob = _unpack_problem(obs_i, obs_f, img_f, pt_f, ptd_i, cams)
+    args = (jnp.float32(scale), lambda_init, lambda_up, lambda_down,
+            function_tolerance)
+    kw = dict(max_iters=max_iters, solver=solver,
+              cg_max_iters=cg_max_iters, cg_tol=cg_tol, backend=backend)
+    if selfcal:
+        return _lm_loop_selfcal(prob, _cam_free_in_jit(prob.cam_models),
+                                *args, **kw)
+    return _lm_loop(prob, *args, **kw)
+
+
 def point_mean_errors(prob: BAProblem, poses, points):
     """Per-point mean UNROBUSTIFIED reprojection error in pixels (P,).
 
     Matches the reference's update_point3D_errors recomputation with the
     loss swapped to trivial (bundle_adjustment.cc:575-598).
     """
+    if isinstance(prob.poses, np.ndarray):
+        # Host (packed-transport) problem: vmap over numpy index arrays
+        # would hand tracers to numpy __getitem__.
+        prob = jax.tree.map(jnp.asarray, prob)
     poses = jnp.asarray(poses)
     points = jnp.asarray(points)
     r = _all_residuals(prob, poses, _gather_dense_points(prob, points))
@@ -1295,20 +1405,34 @@ def bundle_adjust_async(prob: BAProblem, options: BAOptions = BAOptions(),
         cg_tol=options.cg_tol,
         backend=_resolve_backend(options),
     )
-    lm_args = (
-        jnp.float32(options.loss_scale_factor),
-        options.lambda_init,
-        options.lambda_up,
-        options.lambda_down,
-        options.function_tolerance,
-        options.max_num_iterations,
-    )
     selfcal = options.refine_camera_params
-    if selfcal:
-        fut = _lm_loop_selfcal(prob, _selfcal_cam_free(prob), *lm_args,
-                               **common)
+    if isinstance(prob.poses, np.ndarray):
+        # Host problem (build_problem(host=True)): packed transport — 6
+        # argument buffers instead of 21, float hyper-params static.
+        fut = _lm_loop_packed(
+            *pack_problem(prob),
+            scale=float(options.loss_scale_factor),
+            lambda_init=float(options.lambda_init),
+            lambda_up=float(options.lambda_up),
+            lambda_down=float(options.lambda_down),
+            function_tolerance=float(options.function_tolerance),
+            max_iters=options.max_num_iterations,
+            selfcal=selfcal, **common,
+        )
     else:
-        fut = _lm_loop(prob, *lm_args, **common)
+        lm_args = (
+            jnp.float32(options.loss_scale_factor),
+            options.lambda_init,
+            options.lambda_up,
+            options.lambda_down,
+            options.function_tolerance,
+            options.max_num_iterations,
+        )
+        if selfcal:
+            fut = _lm_loop_selfcal(prob, _selfcal_cam_free(prob), *lm_args,
+                                   **common)
+        else:
+            fut = _lm_loop(prob, *lm_args, **common)
 
     def finalize(prefetched=None):
         """prefetched: host values of `finalize.fut` if the caller already
@@ -1346,6 +1470,9 @@ def bundle_adjust(prob: BAProblem, options: BAOptions = BAOptions(),
     With options.refine_camera_params the shared per-camera intrinsics are
     refined too (self-calibration) and returned in info["cam_params"].
     """
+    if isinstance(prob.poses, np.ndarray):
+        # Host problem: packed transport (see bundle_adjust_async).
+        return bundle_adjust_async(prob, options, num_obs=num_obs)()
     if options.refine_camera_params:
         poses, points, cams, cost, init_cost, iters = jax.device_get(
             _lm_loop_selfcal(

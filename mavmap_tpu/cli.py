@@ -114,6 +114,17 @@ def build_parser():
     p.add_argument("--no-chain-frames", action="store_true",
                    help="disable two-frame chained registration (one device "
                         "round-trip per frame instead of per pair)")
+    p.add_argument("--chain-len", type=int, default=4,
+                   help="frames registered per chained device program")
+    p.add_argument("--parallel-segments", type=int, default=1,
+                   help="map N overlapping sequence segments with "
+                        "interleaved device dispatch (their pull "
+                        "round-trips and host commits overlap each "
+                        "other's device work), then merge the sub-maps; "
+                        "1 = strictly sequential like the reference")
+    p.add_argument("--segment-overlap", type=int, default=4,
+                   help="frames shared between adjacent parallel segments "
+                        "(anchors the merge alignment)")
     p.add_argument("--final-closure-sweeps", type=int, default=1,
                    help="post-global-BA rounds of non-neighborhood closure "
                         "sweeping + re-BA (0 disables; beyond reference — "
@@ -270,6 +281,9 @@ def main(argv=None):
         loop_detection_nh_dist=args.loop_detection_nh_dist,
         merge=not args.no_merge,
         chain_frames=not args.no_chain_frames,
+        chain_len=args.chain_len,
+        parallel_segments=args.parallel_segments,
+        segment_overlap=args.segment_overlap,
         final_closure_sweeps=args.final_closure_sweeps,
         final_closure_step=args.final_closure_step,
         merge_num_skip_images=args.merge_num_skip_images,

@@ -384,47 +384,10 @@ def _derive_chain_state(rows, scalars, prev_xyz, prev_has_tri, prev_len,
     return xyz, has_tri, stable, lens, rvec, tvec
 
 
-@jax.jit
-def gather_fresh_anchor(ba_poses, ba_points, anchor_row, xyz_rows,
-                        rvec0, tvec0, xyz0):
-    """Override stale host-staged anchor state with the output buffers of
-    the window-BA solve that is already on the device stream (dispatched
-    just before the chain kernel): the solve's refined anchor pose and
-    3-D points flow into the next chain WITHOUT a host round-trip, so
-    chained registration anchors on BA-fresh state instead of state one
-    window solve stale (measured 3x ATE drift with the stale anchors).
-
-    ba_poses (S,6)/ba_points (P,3) are the LM loop's device outputs;
-    anchor_row is the anchor image's row in ba_poses (-1 = not in the
-    problem); xyz_rows (F,) maps anchor feature rows to ba_points rows
-    (-1 = keep the host value)."""
-    fresh = anchor_row >= 0
-    ar = jnp.maximum(anchor_row, 0)
-    rvec = jnp.where(fresh, ba_poses[ar, :3], rvec0)
-    tvec = jnp.where(fresh, ba_poses[ar, 3:], tvec0)
-    xr = jnp.maximum(xyz_rows, 0)
-    xyz = jnp.where((xyz_rows >= 0)[:, None], ba_points[xr], xyz0)
-    return rvec, tvec, xyz
-
-
-@partial(jax.jit, static_argnames=("p3p_trials", "hom_trials",
-                                   "refine_iters", "matcher"))
-def register_chain(
-    keys,                     # (K,) PRNG keys, one per chain frame
-    kp_p, d_p, m_p, n_p,      # anchor (last processed) frame features
-    kps, ds, ms, ns,          # (K, F, ...) stacked chain-frame features
-    prev_xyz, prev_has_tri, prev_stable, prev_len,
-    prev_rvec, prev_tvec,
-    cam_params, cam_models,   # (K, 9) / (K,) per chain frame
-    ratio, max_distance,
-    norm_thresholds,          # (K,) RANSAC thresholds (normalized)
-    tri_nts,                  # (K,) triangulation reproj thresholds
-    min_tri_angle, min_track_len,
-    p3p_trials: int = 512,
-    hom_trials: int = 128,
-    refine_iters: int = 30,
-    matcher: str = "xla",
-):
+def _register_chain_impl(base_key, kp_p, d_p, m_p, n_p, feats_k,
+                         track_state, scal, ba_poses, ba_points,
+                         use_fresh, p3p_trials, hom_trials, refine_iters,
+                         matcher):
     """K consecutive frame registrations in ONE device program: frame k
     anchors on track state DERIVED ON DEVICE from frame k-1's results
     (`_derive_chain_state`), so the sequential loop pulls once per K
@@ -438,11 +401,63 @@ def register_chain(
     frame, and a mid-chain gate failure sends the remaining frames back
     through the normal path.
 
+    PACKED CALLING CONVENTION — every dispatched op and every host
+    buffer costs a tunnel RPC (~7 ms measured; the unpacked form burned
+    ~150 ms/chain in dispatch overhead alone), so the host passes:
+      feats_k: tuple of K (kp, desc, mask, norm) device-cached tuples —
+        stacking happens INSIDE the program instead of as 4 separate
+        device ops;
+      track_state (F, 7) f32: [xyz(3) | has_tri | stable | track_len |
+        ba_row] — ONE upload for the anchor's track state, where ba_row
+        maps the row to the in-flight window-BA solve's point rows
+        (-1 = keep the staged xyz);
+      scal (12 + 12K,) f32: [prev_rvec(3) | prev_tvec(3) | ratio |
+        max_dist | min_tri_angle | min_track_len | key_counter |
+        anchor_row] + per-frame [nt | tri_nt | cam_model | cam_params(9)]
+        — ONE upload for every scalar/threshold/intrinsic;
+      base_key + key_counter: per-chain PRNG keys derive in-program via
+        fold_in instead of host-side split dispatches;
+      ba_poses/ba_points (use_fresh=True): the deferred window-BA LM
+      loop's output buffers, already on the stream AHEAD of this kernel —
+      the anchor pose and 3-D points come from the solve directly, with
+      no host round-trip (anchoring on the one-solve-stale staged values
+      instead costs ~3x ATE drift at chain length 4).
+
     The K register_view bodies run as one lax.scan (one compile of the
     body regardless of K). Returns (rows (K,F,12), scalars (K,13),
     has_tri_in (K,F)) where has_tri_in[k] is the anchor has_tri state
-    frame k registered against (has_tri_in[0] == prev_has_tri).
+    frame k registered against.
     """
+    K = len(feats_k)
+    prev_rvec, prev_tvec = scal[0:3], scal[3:6]
+    ratio, max_distance = scal[6], scal[7]
+    min_tri_angle = scal[8]
+    min_track_len = scal[9].astype(jnp.int32)
+    counter = scal[10].astype(jnp.int32)
+    per = scal[12:].reshape(K, 12)
+    nts, tri_nts = per[:, 0], per[:, 1]
+    cam_models = per[:, 2].astype(jnp.int32)
+    cam_params = per[:, 3:12]
+
+    xyz = track_state[:, :3]
+    has_tri = track_state[:, 3] > 0.5
+    stable = track_state[:, 4] > 0.5
+    lens = track_state[:, 5].astype(jnp.int32)
+    if use_fresh:
+        anchor_row = scal[11].astype(jnp.int32)
+        xyz_rows = track_state[:, 6].astype(jnp.int32)
+        fresh = anchor_row >= 0
+        ar = jnp.maximum(anchor_row, 0)
+        prev_rvec = jnp.where(fresh, ba_poses[ar, :3], prev_rvec)
+        prev_tvec = jnp.where(fresh, ba_poses[ar, 3:], prev_tvec)
+        xr = jnp.maximum(xyz_rows, 0)
+        xyz = jnp.where((xyz_rows >= 0)[:, None], ba_points[xr], xyz)
+
+    keys = jax.random.split(jax.random.fold_in(base_key, counter), K)
+    kps = jnp.stack([f[0] for f in feats_k])
+    ds = jnp.stack([f[1] for f in feats_k])
+    ms = jnp.stack([f[2] for f in feats_k])
+    ns = jnp.stack([f[3] for f in feats_k])
 
     def step(carry, xs):
         kp0, d0, m0, n0, xyz, has_tri, stable, lens, rvec, tvec = carry
@@ -461,16 +476,40 @@ def register_chain(
         return ((kp1, d1, m1, n1, nxyz, nht, nst, nlen, nrv, ntv),
                 (rows, scalars, has_tri))
 
-    carry0 = (kp_p, d_p, m_p, n_p,
-              prev_xyz, prev_has_tri, prev_stable,
-              prev_len.astype(jnp.int32),
+    carry0 = (kp_p, d_p, m_p, n_p, xyz, has_tri, stable, lens,
               prev_rvec, prev_tvec)
     _, (rows_all, scalars_all, has_tri_in) = jax.lax.scan(
         step, carry0,
-        (keys, kps, ds, ms, ns, cam_params, cam_models,
-         norm_thresholds, tri_nts),
+        (keys, kps, ds, ms, ns, cam_params, cam_models, nts, tri_nts),
     )
     return rows_all, scalars_all, has_tri_in
+
+
+@partial(jax.jit, static_argnames=("p3p_trials", "hom_trials",
+                                   "refine_iters", "matcher"))
+def register_chain_fresh(base_key, kp_p, d_p, m_p, n_p, feats_k,
+                         track_state, scal, ba_poses, ba_points,
+                         p3p_trials: int = 512, hom_trials: int = 128,
+                         refine_iters: int = 30, matcher: str = "xla"):
+    """Chain registration anchored on the in-flight window-BA solution
+    (see _register_chain_impl's packed calling convention)."""
+    return _register_chain_impl(
+        base_key, kp_p, d_p, m_p, n_p, feats_k, track_state, scal,
+        ba_poses, ba_points, True, p3p_trials, hom_trials, refine_iters,
+        matcher)
+
+
+@partial(jax.jit, static_argnames=("p3p_trials", "hom_trials",
+                                   "refine_iters", "matcher"))
+def register_chain(base_key, kp_p, d_p, m_p, n_p, feats_k,
+                   track_state, scal,
+                   p3p_trials: int = 512, hom_trials: int = 128,
+                   refine_iters: int = 30, matcher: str = "xla"):
+    """Chain registration from host-staged anchor state (no window BA in
+    flight; see _register_chain_impl's packed calling convention)."""
+    return _register_chain_impl(
+        base_key, kp_p, d_p, m_p, n_p, feats_k, track_state, scal,
+        None, None, False, p3p_trials, hom_trials, refine_iters, matcher)
 
 
 @partial(jax.jit, static_argnames=("p3p_trials", "matcher"))

@@ -495,7 +495,29 @@ class SequentialMapper:
         frame (its results are discarded) — every call with the same
         pad_to hits the SAME compiled executable; tail/short chains would
         otherwise each pay a fresh XLA compile."""
-        from .kernels import register_chain, gather_fresh_anchor
+        token = self.chain_dispatch(idxs, prev_image_idx, options,
+                                    pad_to=pad_to)
+        return self.chain_complete(token, debug=debug)
+
+    def chain_dispatch(self, idxs, prev_image_idx,
+                       options: SequentialMapperOptions = None,
+                       pad_to=None):
+        """Dispatch HALF of process_chain_k: enqueue the chain kernel (and
+        this mapper's deferred window BA ahead of it) on the device stream
+        and return a token for `chain_complete`, WITHOUT pulling results.
+
+        Segment-parallel mapping interleaves dispatch/complete across
+        several mappers so one mapper's pull round-trip and host commit
+        overlap the device work of the others (the reference is strictly
+        one-frame-at-a-time, mapper.cc:1014-1148).
+
+        Dispatch cost note: over a remote-attached TPU every dispatched
+        op / host buffer is a tunnel RPC (~7 ms measured), so this method
+        makes exactly ONE jitted call with two small packed host arrays
+        (plus the deferred-BA solve dispatch); features are passed as
+        cached device buffers and stacked inside the program; per-chain
+        PRNG keys derive in-program from (base_key, counter)."""
+        from .kernels import register_chain, register_chain_fresh
 
         options = options or SequentialMapperOptions()
         if not self.is_image_processed(prev_image_idx):
@@ -508,11 +530,7 @@ class SequentialMapper:
         K = max(pad_to or n_real, n_real)
         idxs = list(idxs) + [idxs[-1]] * (K - n_real)
         kpp, dp_, mp_, npn = self._device_features(prev_image_idx)
-        feats = [self._device_features(i) for i in idxs]
-        nts = [self._norm_threshold(options.ransac_max_reproj_error, i)
-               for i in idxs]
-        tri_nts = [self._norm_threshold(options.tri_max_reproj_error, i)
-                   for i in idxs]
+        feats = tuple(self._device_features(i) for i in idxs)
 
         prev_p2d, has_tri, stable, xyz, prev_rvec, prev_tvec, lens = (
             self._prev_track_state(prev_image_idx, options)
@@ -529,59 +547,80 @@ class SequentialMapper:
         self._pending_ba = ((getattr(self, "_pending_ba", None) or [])
                             + handles)
 
+        F = self.provider.capacity
+        track_state = np.zeros((F, 7), np.float32)
+        track_state[:, :3] = xyz
+        track_state[:, 3] = has_tri
+        track_state[:, 4] = stable
+        track_state[:, 5] = lens
+        track_state[:, 6] = -1.0
+
+        tri_nts = [self._norm_threshold(options.tri_max_reproj_error, i)
+                   for i in idxs]
+        scal = np.zeros(12 + 12 * K, np.float32)
+        scal[0:3] = prev_rvec
+        scal[3:6] = prev_tvec
+        scal[6] = options.match_max_ratio
+        scal[7] = (options.match_max_distance
+                   if options.match_max_distance > 0 else 1e9)
+        scal[8] = options.tri_min_angle * np.pi / 180.0
+        scal[9] = options.min_track_len
+        self._chain_counter = getattr(self, "_chain_counter", 0) + 1
+        scal[10] = self._chain_counter
+        scal[11] = -1.0  # anchor_row
+        per = scal[12:].reshape(K, 12)
+        per[:, 0] = [self._norm_threshold(options.ransac_max_reproj_error, i)
+                     for i in idxs]
+        per[:, 1] = tri_nts
+        per[:, 2] = self.cam_models[cis]
+        per[:, 3:12] = self.cam_params[cis]
+
         # Anchor freshness: the solve just enqueued refines the anchor's
         # pose and most of its 3-D points, but its results only reach the
-        # host store AFTER this chain's pull. Feed them into the chain
-        # directly on device (kernels.gather_fresh_anchor) — the host
-        # staged values above are one window solve stale otherwise.
-        prev_rvec_d = jnp.asarray(prev_rvec, jnp.float32)
-        prev_tvec_d = jnp.asarray(prev_tvec, jnp.float32)
-        xyz_d = jnp.asarray(xyz)
-        if handles:
+        # host store AFTER this chain's pull. The fresh variant reads the
+        # anchor pose from the solve's device buffers and gathers each
+        # row's 3-D point through track_state[:, 6] — the staged values
+        # above are one window solve stale otherwise.
+        ba_args = None
+        if handles and getattr(self, "fresh_anchor", True):
             sel_ids_h, pids_h, h = handles[-1]
             prev_id = self.image_idx_to_id[prev_image_idx]
             anchor_row = (sel_ids_h.index(prev_id)
                           if prev_id in sel_ids_h else -1)
             if anchor_row >= 0 and len(pids_h):
-                F = self.provider.capacity
                 p3d = self.store.point2D_point3D[prev_p2d]
                 loc = np.searchsorted(pids_h, np.maximum(p3d, 0))
                 loc = np.minimum(loc, len(pids_h) - 1)
                 ok = has_tri[: len(prev_p2d)] & (p3d >= 0) & (
                     pids_h[loc] == p3d)
-                xyz_rows = np.full(F, -1, np.int32)
-                xyz_rows[: len(prev_p2d)][ok] = loc[ok]
-                prev_rvec_d, prev_tvec_d, xyz_d = gather_fresh_anchor(
-                    h.fut[0], h.fut[1], jnp.int32(anchor_row),
-                    jnp.asarray(xyz_rows), prev_rvec_d, prev_tvec_d, xyz_d,
-                )
+                track_state[: len(prev_p2d), 6][ok] = loc[ok]
+                scal[11] = anchor_row
+                ba_args = (h.fut[0], h.fut[1])
 
-        out = register_chain(
-            jax.random.split(self._next_key(), K),
-            kpp, dp_, mp_, npn,
-            jnp.stack([f[0] for f in feats]),
-            jnp.stack([f[1] for f in feats]),
-            jnp.stack([f[2] for f in feats]),
-            jnp.stack([f[3] for f in feats]),
-            xyz_d, jnp.asarray(has_tri), jnp.asarray(stable),
-            jnp.asarray(lens),
-            prev_rvec_d,
-            prev_tvec_d,
-            jnp.asarray(self.cam_params[cis]),
-            jnp.asarray(self.cam_models[cis]),
-            jnp.float32(options.match_max_ratio),
-            jnp.float32(options.match_max_distance
-                        if options.match_max_distance > 0 else 1e9),
-            jnp.asarray(nts, jnp.float32),
-            jnp.asarray(tri_nts, jnp.float32),
-            jnp.float32(options.tri_min_angle * np.pi / 180.0),
-            jnp.asarray(options.min_track_len, jnp.int32),
-            p3p_trials=options.p3p_ransac_trials,
-            matcher=self._matcher_backend(options),
-        )
+        if not hasattr(self, "_base_key"):
+            self._base_key = self._next_key()
+        common = dict(p3p_trials=options.p3p_ransac_trials,
+                      matcher=self._matcher_backend(options))
+        if ba_args is not None:
+            out = register_chain_fresh(
+                self._base_key, kpp, dp_, mp_, npn, feats,
+                track_state, scal, ba_args[0], ba_args[1], **common)
+        else:
+            out = register_chain(
+                self._base_key, kpp, dp_, mp_, npn, feats,
+                track_state, scal, **common)
         # Same overlap scheduling as process(): d2h first, deferred BA
         # behind it, pull everything (+ pending BA) in one device_get.
         self._copy_async(out)
+        return (out, idxs, n_real, prev_image_idx, prev_p2d, has_tri,
+                tri_nts, options)
+
+    def chain_complete(self, token, debug=False):
+        """Complete HALF of process_chain_k: pull the dispatched chain's
+        results (with any pending BA), run the host gates, and commit each
+        frame. Returns the per-frame oks list (see process_chain_k)."""
+        (out, idxs, n_real, prev_image_idx, prev_p2d, has_tri, tri_nts,
+         options) = token
         rows_all, scalars_all, has_tri_in = self._pull_with_pending(out)
 
         oks = []
@@ -1295,7 +1334,7 @@ class SequentialMapper:
                 self.store.camera_models, obs_image[sub],
                 obs_point_s.astype(np.int32), obs_cam[sub], obs_xy[sub],
                 pose_states=states, point_fixed=point_fixed_s,
-                rot_prior=rp, rot_prior_weight=rw, bucket=True,
+                rot_prior=rp, rot_prior_weight=rw, bucket=True, host=True,
             )
             _, _, info_s = bundle_adjust(
                 prob_s,
@@ -1308,7 +1347,7 @@ class SequentialMapper:
             poses, points, self.store.camera_params.astype(np.float32),
             self.store.camera_models, obs_image, obs_point, obs_cam, obs_xy,
             pose_states=states, point_fixed=point_fixed,
-            rot_prior=rp, rot_prior_weight=rw, bucket=True,
+            rot_prior=rp, rot_prior_weight=rw, bucket=True, host=True,
             # Solver choice (exact dense Schur below
             # DENSE_SOLVER_MAX_CAMERAS, matrix-free CG above) happens in
             # _resolve_solver from the camera count.

@@ -76,6 +76,15 @@ class PipelineOptions:
     # frame (deferred onto the device stream behind the next chain).
     chain_frames: bool = True
     chain_len: int = 4
+    # Segment-parallel mapping (beyond the reference, which is strictly
+    # one-frame-at-a-time): partition [start, end] into `parallel_segments`
+    # contiguous segments, map each with its own SequentialMapper, and
+    # interleave their chain dispatch/complete so one segment's pull
+    # round-trip + host commit overlap the device work of the others.
+    # Adjacent segments share `segment_overlap` frames so the post-pass
+    # merge aligns sub-maps on common images even without a voc tree.
+    parallel_segments: int = 1
+    segment_overlap: int = 4  # merge needs >= 3 common images
     # Post-pass closure sweeps (beyond the reference): after the first
     # global BA, query every `final_closure_step`-th registered image for
     # NON-neighborhood loop closures (batched candidate registration) and
@@ -409,7 +418,7 @@ def apply_control_points(mapper, control_points, opts: PipelineOptions):
     prob = build_problem(
         poses, points, mapper.store.camera_params.astype(np.float32),
         mapper.store.camera_models, obs_image, obs_point, obs_cam, obs_xy,
-        pose_states=states, point_fixed=point_fixed, bucket=True,
+        pose_states=states, point_fixed=point_fixed, bucket=True, host=True,
     )
     new_poses, new_points, info = bundle_adjust(
         prob, BAO(max_num_iterations=opts.ba_global_max_iters,
@@ -431,6 +440,196 @@ def apply_control_points(mapper, control_points, opts: PipelineOptions):
                  float(errors[row]))
             )
     return results
+
+
+class _Segment:
+    """Cursor state of one segment in segment-parallel mapping."""
+
+    def __init__(self, mapper, lo, hi):
+        self.mapper = mapper
+        self.lo = lo
+        self.hi = hi
+        self.first = lo
+        self.idx = lo
+        self.prev = None
+        self.init_j = lo + 1
+        self.init_chunk = 2
+        self.num_skipped = 0
+        self.count_since_loop = 0
+        self.phase = "init"  # init | seq | done
+        self.token = None
+
+
+def _run_segments_parallel(new_mapper, start, end, opts: PipelineOptions,
+                           rot_priors):
+    """Segment-parallel mapping loop (see PipelineOptions.parallel_segments).
+
+    Partitions [start, end] into S overlapping segments, one mapper each,
+    and round-robins chain dispatch/complete across them: while segment A's
+    chain results return over the tunnel and commit on host, the device is
+    already running segments B..S's chain kernels and window solves. The
+    per-chain pull round-trip — the sequential loop's floor on a
+    remote-attached TPU — overlaps other segments' device work instead of
+    stalling it. Per-segment failure handling mirrors the sequential loop:
+    gates -> skip -> rescue -> in-segment sub-map restart.
+
+    Returns the list of mappers (one or more per segment); each carries
+    `_segment_range` so the pre-merge back-fill stays within its segment.
+    """
+    S = opts.parallel_segments
+    n = end - start + 1
+    step = int(np.ceil(n / S))
+    overlap = max(opts.segment_overlap, 1)
+    mappers = []
+    segs = []
+    for s in range(S):
+        lo = start + s * step
+        if lo > end:
+            break
+        hi = min(start + (s + 1) * step - 1, end)
+        lo_eff = max(start, lo - overlap) if s > 0 else lo
+        if hi - lo_eff < 1:
+            continue
+        m = new_mapper(s)
+        m._segment_range = (lo_eff, hi)
+        mappers.append(m)
+        segs.append(_Segment(m, lo_eff, hi))
+
+    init_opts = _mapper_options(opts, initial=True)
+
+    def restart_submap(seg):
+        # In-segment sub-map restart (mapper.cc:1150-1173).
+        if opts.verbose:
+            print(f"Starting new sub-map at image #{seg.idx}")
+        m = new_mapper(len(mappers))
+        m._segment_range = (seg.lo, seg.hi)
+        mappers.append(m)
+        seg.mapper = m
+        seg.idx += max(opts.failure_skip_images - 1, 0)
+        seg.first = seg.idx
+        seg.init_j = seg.first + 1
+        seg.init_chunk = 2
+        seg.num_skipped = 0
+        seg.prev = None
+        seg.phase = "init" if seg.first < seg.hi else "done"
+
+    def advance_init(seg):
+        # One batched initial-pair attempt per visit (mapper.cc:1027-1062).
+        if seg.init_j > seg.hi:
+            seg.first += 1
+            if seg.first >= seg.hi:
+                seg.phase = "done"
+                return
+            seg.init_j = seg.first + 1
+            seg.init_chunk = 2
+            return
+        cands = list(range(seg.init_j, min(seg.init_j + seg.init_chunk,
+                                           seg.hi + 1)))
+        sec = seg.mapper.process_initial_batch(seg.first, cands, init_opts)
+        if sec >= 0:
+            if opts.verbose:
+                print(f"Initialized with pair (#{seg.first}, #{sec})")
+            seg.mapper.adjust_bundle(
+                [], [seg.first], [sec],
+                ba_options=BAOptions(
+                    max_num_iterations=opts.ba_local_max_iters,
+                    min_track_len=2),
+            )
+            seg.prev = sec
+            seg.idx = sec + 1
+            seg.phase = "seq" if seg.idx <= seg.hi else "done"
+        else:
+            seg.init_j += len(cands)
+            seg.init_chunk = 8
+
+    def after_commit(seg, committed_last, n_committed, seq_opts):
+        seg.count_since_loop += n_committed
+        seg.prev = committed_last
+        seg.num_skipped = 0
+        seg.idx = committed_last + 1
+        _local_ba(seg.mapper, opts, rot_priors)
+        if opts.loop_detection and \
+                seg.count_since_loop >= opts.loop_detection_period:
+            seg.mapper.detect_loop(
+                seg.prev, num_images=opts.loop_detection_num_images,
+                num_nh_images=opts.loop_detection_num_nh_images,
+                nh_distance=opts.loop_detection_nh_dist,
+                options=seq_opts, verbose=opts.verbose)
+            seg.count_since_loop = 0
+        if seg.idx > seg.hi:
+            seg.phase = "done"
+
+    def sync_step(seg, seq_opts):
+        # Sequential fallback for one frame: process -> rescue -> skip ->
+        # sub-map restart (mapper.cc:1088-1173).
+        m = seg.mapper
+        success = m.process(seg.idx, seg.prev, seq_opts)
+        if not success and opts.loop_detection:
+            success = m.detect_loop(
+                seg.idx, num_images=opts.loop_detection_num_images,
+                num_nh_images=1, nh_distance=1 << 30,
+                options=seq_opts) > 0
+        if success:
+            if opts.verbose:
+                print(f"Processed image #{seg.idx} "
+                      f"(points3D={m.store.num_points3D})")
+            after_commit(seg, seg.idx, 1, seq_opts)
+        else:
+            seg.num_skipped += 1
+            if seg.num_skipped >= opts.max_subsequent_trials:
+                restart_submap(seg)
+            else:
+                seg.idx += 1
+                if seg.idx > seg.hi:
+                    seg.phase = "done"
+
+    def try_dispatch(seg):
+        m = seg.mapper
+        seq_opts = _mapper_options(opts, num_proc=m.num_proc_images)
+        if (opts.chain_frames and not opts.process_prev_prev
+                and opts.chain_len >= 2
+                and m.num_proc_images >= 2
+                and seg.prev is not None
+                and m.is_image_processed(seg.prev)):
+            chain = []
+            for j in range(seg.idx, min(seg.idx + opts.chain_len,
+                                        seg.hi + 1)):
+                if m.is_image_processed(j):
+                    break
+                chain.append(j)
+            if len(chain) >= 2:
+                seg.token = (m.chain_dispatch(chain, seg.prev, seq_opts,
+                                              pad_to=opts.chain_len),
+                             chain, seq_opts)
+                return
+        # Not chainable: take one synchronous step now.
+        sync_step(seg, seq_opts)
+
+    live = list(segs)
+    while live:
+        for seg in list(live):
+            if seg.token is not None:
+                token, chain, seq_opts = seg.token
+                seg.token = None
+                oks = seg.mapper.chain_complete(token)
+                committed = sum(oks)
+                if committed:
+                    if opts.verbose:
+                        for j in chain[:committed]:
+                            print(f"Processed image #{j} (points3D="
+                                  f"{seg.mapper.store.num_points3D})")
+                    after_commit(seg, chain[committed - 1], committed,
+                                 seq_opts)
+                else:
+                    sync_step(seg, seq_opts)
+            if seg.phase == "init":
+                advance_init(seg)
+            if seg.phase == "seq":
+                try_dispatch(seg)
+            if seg.phase == "done" and seg.token is None:
+                seg.mapper.flush_ba()
+                live.remove(seg)
+    return mappers
 
 
 def run_pipeline(
@@ -495,6 +694,13 @@ def run_pipeline(
 
     t_seq0 = _time.perf_counter()
     idx = image_idx
+    if opts.parallel_segments > 1:
+        # Segment-parallel mapping replaces the sequential loop entirely;
+        # the shared post-pass below (back-fill, global BA, merge, closure
+        # sweeps) stitches the per-segment sub-maps into one model.
+        mappers = _run_segments_parallel(new_mapper, start, end, opts,
+                                         rot_priors)
+        idx = end + 1  # skip the sequential loop
     while idx <= end:
         if mapper.num_proc_images == 0:
             # Initial-pair search (mapper.cc:1027-1062).
@@ -549,7 +755,7 @@ def run_pipeline(
         chain = []
         if (opts.chain_frames and not opts.process_prev_prev
                 and opts.chain_len >= 2
-                and mapper.num_proc_images > 2 * opts.min_track_len
+                and mapper.num_proc_images >= 2
                 and prev_idx is not None
                 and mapper.is_image_processed(prev_idx)):
             for j in range(idx, min(idx + opts.chain_len, end + 1)):
@@ -637,12 +843,16 @@ def run_pipeline(
 
     timings["sequential_loop"] = _time.perf_counter() - t_seq0
 
-    # Post-pass (mapper.cc:1188-1209).
+    # Post-pass (mapper.cc:1188-1209). Pre-merge back-fill stays within
+    # each mapper's own segment in parallel mode (a segment mapper has no
+    # business registering frames of other segments before the merge; the
+    # post-merge back-fill below covers the full range).
     with _stage("backfill"):
         for m in mappers:
             if m.num_proc_images == 0:
                 continue
-            process_remaining_images(m, start, end, opts)
+            lo, hi = getattr(m, "_segment_range", (start, end))
+            process_remaining_images(m, lo, hi, opts)
     with _stage("global_ba"):
         for m in mappers:
             if m.num_proc_images:

@@ -345,3 +345,24 @@ def test_cli_from_real_photo_textures(rng, tmp_path):
     idxs = [int(r[0].strip()[3:]) for r in rows]
     ate = ate_rmse(est, scene.camera_centers()[idxs])
     assert ate < 1.0  # meters at 30 m altitude
+
+
+@pytest.mark.slow
+def test_pipeline_parallel_segments(rng):
+    """Segment-parallel mapping: S segment mappers run interleaved
+    (dispatch/complete pipelining), then the standard post-pass merges the
+    overlapping sub-maps into ONE model matching the sequential result."""
+    scene = make_uav_scene(num_images=20, num_points=3000, relief=10.0,
+                           rows=2, seed=7)
+    feats, _ = render_features(scene, pixel_noise=0.3, clutter=20, seed=7)
+    prov = _provider(feats)
+    opts = PipelineOptions(verbose=False, tri_min_angle=1.0,
+                           init_tri_min_angle=4.0, min_track_len=2,
+                           parallel_segments=2, loop_detection=False,
+                           final_closure_sweeps=0)
+    res = run_pipeline(scene.image_cameras, scene.cam_models,
+                       scene.cam_params, prov, opts)
+    assert len(res.mappers) == 1, [m.num_proc_images for m in res.mappers]
+    m = res.main_mapper
+    assert m.num_proc_images == 20
+    assert _ate_of(m, scene) < 0.02

@@ -213,7 +213,7 @@ def test_chained_registration_deferred_ba_fresh_anchor(rng):
     """The production chain schedule (bench.py / pipeline): ONE deferred
     window BA per chain, dispatched at the next chain's start and pulled
     with its results. The next chain's anchor pose/points must come from
-    the in-flight solve's device buffers (kernels.gather_fresh_anchor) —
+    the in-flight solve's device buffers (kernels.register_chain_fresh) —
     with stale host anchors this drifts ~3x."""
     scene = make_uav_scene(num_images=14, num_points=2500, relief=10.0,
                            rows=1, seed=34)
