@@ -108,3 +108,79 @@ for matcher in ("pallas", "xla"):
         ts.append((time.perf_counter() - t0) * 1000)
     print(f"chain kernel K={CH} matcher={matcher}: {np.median(ts):7.1f} ms"
           f"  ({np.median(ts)/CH:.1f} ms/frame)", flush=True)
+
+
+# Batched-across-segments variants: vmap the chain kernel and the packed
+# selfcal solve over a leading segment axis S — measures whether
+# multi-segment batching can buy device throughput (the chip is heavily
+# underutilized at F=1024 / window-problem sizes).
+from functools import partial as _partial
+from mavmap_tpu.ba.core import _lm_loop_packed, pack_problem
+from mavmap_tpu.sfm.kernels import _register_chain_impl
+
+S = 4
+feat_b = tuple(jax.tree.map(lambda x: jnp.stack([x] * S), f) for f in feats)
+anchor_b = jax.tree.map(lambda x: jnp.stack([x] * S), feat)
+track_b = np.stack([track] * S)
+scal_b = np.stack([scal] * S)
+keys_b = jax.random.split(jax.random.PRNGKey(1), S)
+
+
+@_partial(jax.jit, static_argnames=("p3p_trials", "hom_trials",
+                                    "refine_iters", "matcher"))
+def chain_batch(keys, anchor, feats_k, track_state, scal,
+                p3p_trials=512, hom_trials=128, refine_iters=30,
+                matcher="xla"):
+    def one(key, anc, fk, ts, sc):
+        return _register_chain_impl(key, *anc, fk, ts, sc, None, None,
+                                    False, p3p_trials, hom_trials,
+                                    refine_iters, matcher)
+    return jax.vmap(one)(keys, anchor, feats_k, track_state, scal)
+
+
+for matcher in ("xla",):
+    out = chain_batch(keys_b, anchor_b, feat_b, track_b, scal_b,
+                      matcher=matcher)
+    jax.block_until_ready(out)
+    ts = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        out = chain_batch(keys_b, anchor_b, feat_b, track_b, scal_b,
+                          matcher=matcher)
+        jax.block_until_ready(out)
+        ts.append((time.perf_counter() - t0) * 1000)
+    print(f"chain kernel S={S} K={CH} batched ({matcher}): "
+          f"{np.median(ts):7.1f} ms ({np.median(ts)/(S*CH):.1f} ms/frame)",
+          flush=True)
+
+opts6 = BAOptions(max_num_iterations=6, refine_camera_params=True,
+                  function_tolerance=0.0)
+prob = build_problem(poses, X.astype(np.float32), K, [1], oi, op,
+                     np.zeros(len(oi), np.int32), uv,
+                     pose_states=[1, 2] + [0] * (I - 2), bucket=True,
+                     host=True)
+packed = pack_problem(prob)
+packed_b = tuple(np.stack([a] * S) for a in packed)
+
+
+@jax.jit
+def solve_batch(*bufs):
+    def one(*b):
+        return _lm_loop_packed(
+            *b, scale=1.0, lambda_init=1e-4, lambda_up=10.0,
+            lambda_down=0.5, function_tolerance=0.0, max_iters=6,
+            solver="dense", cg_max_iters=100, cg_tol=1e-3,
+            backend="xla", selfcal=True)
+    return jax.vmap(one)(*bufs)
+
+
+out = solve_batch(*packed_b)
+jax.block_until_ready(out)
+ts = []
+for _ in range(5):
+    t0 = time.perf_counter()
+    out = solve_batch(*packed_b)
+    jax.block_until_ready(out)
+    ts.append((time.perf_counter() - t0) * 1000)
+print(f"window solve selfcal S={S} batched, 6 iters: {np.median(ts):7.1f} ms"
+      f" ({np.median(ts)/S:.1f} ms/segment)", flush=True)

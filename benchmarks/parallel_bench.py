@@ -61,7 +61,8 @@ def cell(segments, warm=False):
           flush=True)
 
 
-for s in (1, 2, 3, 4):
+SEGS = tuple(int(x) for x in os.environ.get("BENCH_SEGS", "1,2,3,4").split(","))
+for s in SEGS:
     cell(s, warm=True)
-for s in (1, 2, 3, 4):
+for s in SEGS:
     cell(s)
