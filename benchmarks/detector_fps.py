@@ -1,0 +1,101 @@
+"""Detector-in-the-loop throughput: PIXELS -> POSES frames/s.
+
+The headline bench (bench.py) feeds precomputed feature arrays — matching
+the reference's steady state, where the disk FeatureCache amortizes SURF
+extraction to a binary read (feature_cache.cc:35-165). This probe measures
+the other two regimes with the SAME pipeline and ATE gate:
+
+  cold  — empty cache: the conv-pyramid DoH detector (features/detector.py)
+          runs on every rendered frame (extract-on-miss);
+  warm  — second run over the populated npz cache (read-on-hit).
+
+Usage: python benchmarks/detector_fps.py [num_images]
+Prints one JSON line {"cold_fps", "warm_fps", "ate_m", "n_registered"}.
+"""
+
+import json
+import shutil
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+import numpy as np
+
+
+def main(num_images=20):
+    import jax
+
+    try:
+        cache_dir = str(Path(__file__).resolve().parent.parent / ".jax_cache")
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
+
+    from PIL import Image
+
+    from mavmap_tpu.cli import main as cli_main
+    from mavmap_tpu.utils.synthetic import (
+        ate_rmse, make_uav_scene, render_images,
+    )
+
+    scene = make_uav_scene(num_images=num_images, num_points=1500,
+                           relief=10.0, rows=2, seed=21)
+    tmp = Path(tempfile.mkdtemp(prefix="mavmap_det_bench_"))
+    data = tmp / "data"
+    cache = tmp / "cache"
+    data.mkdir()
+    imgs = render_images(scene, texture_contrast=0.25, seed=21)
+    lines = ["# imagedata"]
+    for i, im in enumerate(imgs):
+        Image.fromarray(im).save(data / f"img{i}.png")
+        cam_def = ", 1, PINHOLE, 700.0, 700.0, 400.0, 300.0" if i == 0 else ""
+        lines.append(f"img{i}, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0{cam_def}")
+    (data / "imagedata.txt").write_text("\n".join(lines) + "\n")
+
+    args = [
+        "--input-path", str(data), "--cache-path", str(cache),
+        "--max-features", "1024", "--min-track-len", "2",
+        "--tri-min-angle", "1.0", "--init-tri-min-angle", "2.0",
+        "--ransac-min-inlier-threshold", "15",
+        "--surf-hessian-threshold", "1000", "--quiet",
+    ]
+
+    def run(tag):
+        out = tmp / f"out_{tag}"
+        t0 = time.time()
+        rc = cli_main(args + ["--output-path", str(out)])
+        dt = time.time() - t0
+        assert rc == 0
+        rows = [l.split(",")
+                for l in (out / "imagedataout.txt").read_text().splitlines()
+                if not l.startswith("#")]
+        est = np.array([[float(r[8]), float(r[9]), float(r[10])]
+                        for r in rows])
+        idxs = [int(r[0].strip()[3:]) for r in rows]
+        ate = ate_rmse(est, scene.camera_centers()[idxs])
+        return len(rows) / dt, ate, len(rows)
+
+    # Compile warmup (kernel shapes identical across runs); cache cleared
+    # after so the measured cold run still pays detection.
+    run("compile_warmup")
+    shutil.rmtree(cache)
+
+    cold_fps, cold_ate, n = run("cold")
+    warm_fps, warm_ate, n2 = run("warm")
+    assert cold_ate < 1.0 and warm_ate < 1.0, (cold_ate, warm_ate)
+
+    print(json.dumps({
+        "cold_fps": round(cold_fps, 2),
+        "warm_fps": round(warm_fps, 2),
+        "ate_m": round(float(max(cold_ate, warm_ate)), 4),
+        "n_registered": n,
+        "n_images": num_images,
+        "device": jax.devices()[0].device_kind,
+    }))
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main(int(sys.argv[1]) if len(sys.argv) > 1 else 20)

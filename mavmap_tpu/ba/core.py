@@ -508,17 +508,14 @@ def _seg_by_image(prob: BAProblem, vals, I):
     )
 
 
-# The full one-hot kernel keeps its (S, K) accumulator and a (TILE, S)
-# one-hot tile in VMEM — past ~2k segments fall back to XLA.
-_PALLAS_MAX_FULL_SEGMENTS = 2048
-
-
 def _seg_img(prob: BAProblem, vals, I, backend):
     """Image-keyed reduction (any trailing shape), backend-dispatched.
 
     The Pallas path is a one-hot MXU matmul (ops/pallas/ba_accum.py) that
-    needs no sort/gather; the XLA path is the sorted segment sum."""
-    if backend.startswith("pallas") and I <= _PALLAS_MAX_FULL_SEGMENTS:
+    needs no sort/gather and tiles the segment axis past 2048 segments
+    (one extra pass over the observations per 2048 images), so 1000+-image
+    global BAs stay off XLA's ~200x-off-bandwidth scatter-add."""
+    if backend.startswith("pallas"):
         from ..ops.pallas.ba_accum import seg_accum_full
 
         flat = vals.reshape(vals.shape[0], -1)
@@ -530,7 +527,7 @@ def _seg_img(prob: BAProblem, vals, I, backend):
 
 def _seg_ids(ids, vals, S, backend):
     """Reduction keyed by arbitrary (unsorted) ids into S segments."""
-    if backend.startswith("pallas") and S <= _PALLAS_MAX_FULL_SEGMENTS:
+    if backend.startswith("pallas"):
         from ..ops.pallas.ba_accum import seg_accum_full
 
         flat = vals.reshape(vals.shape[0], -1)
@@ -1320,6 +1317,16 @@ def _lm_loop_packed(obs_i, obs_f, img_f, pt_f, ptd_i, cams, *,
                     scale, lambda_init, lambda_up, lambda_down,
                     function_tolerance, max_iters, solver, cg_max_iters,
                     cg_tol, backend, selfcal):
+    """Packed-transport LM entry: 6 consolidated buffers in, packed out.
+
+    NOTE on statics: the FLOAT hyper-parameters (scale, lambda_*,
+    function_tolerance, cg_tol) are jit statics here — every distinct
+    BAOptions float combination compiles a fresh (~15 s) XLA executable.
+    That is deliberate for the pipeline, which runs a small constant set
+    of options, because baking the floats lets XLA constant-fold the LM
+    damping/acceptance arithmetic. Callers SWEEPING float options on host
+    problems should expect one compile per combination (or go through
+    `_lm_loop`, which takes them traced)."""
     prob = _unpack_problem(obs_i, obs_f, img_f, pt_f, ptd_i, cams)
     args = (jnp.float32(scale), lambda_init, lambda_up, lambda_down,
             function_tolerance)
@@ -1354,11 +1361,21 @@ def point_mean_errors(prob: BAProblem, poses, points):
     return jnp.where(n > 0, s / jnp.maximum(n, 1.0), -1.0)
 
 
+def default_platform() -> str:
+    """Platform computations will actually run on: an explicit
+    jax_default_device override wins over the default backend (the dryrun
+    pins CPU while an accelerator backend is still loaded)."""
+    dev = jax.config.jax_default_device
+    if dev is not None:
+        return dev.platform
+    return jax.default_backend()
+
+
 def _resolve_backend(options: BAOptions) -> str:
     """Resolve options.backend: "auto" means Pallas kernels on TPU."""
     if options.backend != "auto":
         return options.backend
-    return "pallas" if jax.default_backend() == "tpu" else "xla"
+    return "pallas" if default_platform() == "tpu" else "xla"
 
 
 def _resolve_solver(prob: BAProblem, options: BAOptions) -> str:

@@ -131,6 +131,11 @@ def build_parser():
                         "attacks long-survey drift)")
     p.add_argument("--final-closure-step", type=int, default=4,
                    help="query every Nth registered image in a closure sweep")
+    p.add_argument("--mesh", type=int, default=1,
+                   help="device-mesh size for distributed global BA and "
+                        "sharded matching fan-outs (beyond the reference): "
+                        "1 = single device, 0 = all visible devices, N = "
+                        "first N devices")
     p.add_argument("--process-prev-prev", action="store_true")
 
     # Constraints (mapper.cc:871-899).
@@ -286,6 +291,7 @@ def main(argv=None):
         segment_overlap=args.segment_overlap,
         final_closure_sweeps=args.final_closure_sweeps,
         final_closure_step=args.final_closure_step,
+        mesh_devices=args.mesh,
         merge_num_skip_images=args.merge_num_skip_images,
         min_track_len=args.min_track_len,
         final_cost_threshold=args.final_cost_threshold,

@@ -251,8 +251,8 @@ class LoopDetector:
         """Posting-list scoring: touches only the query words' postings
         for the dot product (reference voc_tree_inv_file.cc:243-328); image
         norms under the CURRENT idf are one vectorized pass over all
-        postings, so scores equal the dense path's (up to its bf16
-        matmul rounding)."""
+        postings, so scores equal the dense path's (both f32; see
+        test_loop.py dense-vs-sparse rank agreement)."""
         inv_w, inv_img, inv_tf = self._inverted()
         uw, qtf = np.unique(qwords, return_counts=True)
         qv = qtf.astype(np.float32) * idf[uw]
@@ -280,16 +280,17 @@ class LoopDetector:
 def _score(qbow, db, idf):
     """Squared L2 distance between L2-normalized idf-weighted tf vectors.
 
-    One (I, W) x (W,) matvec on the MXU; bf16 inputs are accurate enough
-    for retrieval ranking, accumulation in f32.
+    One (I, W) x (W,) matvec per query, in f32: the sparse posting-list
+    path above is f32, and near-tie rankings must not flip between the two
+    paths at the dense/sparse switchover (bf16 rounding was enough to do
+    that). A single f32 matvec per query is nowhere near the hot path.
     """
     q = qbow * idf
     q = q / jnp.maximum(jnp.linalg.norm(q), 1e-12)
     d = db * idf[None, :]
     d = d / jnp.maximum(jnp.linalg.norm(d, axis=1, keepdims=True), 1e-12)
     cos = jax.lax.dot_general(
-        d.astype(jnp.bfloat16),
-        q.astype(jnp.bfloat16),
+        d, q,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )

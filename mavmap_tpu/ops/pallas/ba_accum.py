@@ -45,18 +45,28 @@ def _round_up(n, q):
 # ------------------------------------------------------------- full one-hot
 
 
-def _full_kernel(seg_ref, c_ref, out_ref):
-    t = pl.program_id(0)
+# Widest (SEGT, K) accumulator + (TILE, SEGT) one-hot that fit VMEM
+# comfortably; segment counts beyond SEGT tile the segment axis (one extra
+# pass over the observations per SEGT segments).
+SEGT = 2048
 
-    @pl.when(t == 0)
+
+def _full_kernel(seg_ref, c_ref, out_ref):
+    s = pl.program_id(0)
+    o = pl.program_id(1)
+
+    @pl.when(o == 0)
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
     seg = seg_ref[:, 0]  # (TILE,)
-    S = out_ref.shape[0]
+    St = out_ref.shape[0]
+    rel = seg - s * St
+    # Rows whose segment lies outside this segment tile produce all-zero
+    # one-hot rows and contribute nothing.
     oh = (
-        seg[:, None]
-        == jax.lax.broadcasted_iota(jnp.int32, (seg.shape[0], S), 1)
+        rel[:, None]
+        == jax.lax.broadcasted_iota(jnp.int32, (seg.shape[0], St), 1)
     ).astype(jnp.float32)
     out_ref[:] += jax.lax.dot_general(
         oh,
@@ -70,7 +80,10 @@ def seg_accum_full(contrib, seg_ids, num_segments, *, interpret=False):
     """out[s, :] = sum over o with seg_ids[o]==s of contrib[o, :].
 
     contrib: (O, K) f32; seg_ids: (O,) int32 in [0, num_segments), ANY
-    order. num_segments is kept whole in VMEM — use for <= ~4k segments.
+    order. Segment counts beyond SEGT tile the segment axis (grid
+    (ceil(S/SEGT), O/TILE)), so ANY number of segments stays on the
+    MXU one-hot path — at the cost of one pass over the observations per
+    SEGT segments.
     """
     contrib = contrib.astype(jnp.float32)
     seg_ids = seg_ids.astype(jnp.int32)
@@ -80,20 +93,24 @@ def seg_accum_full(contrib, seg_ids, num_segments, *, interpret=False):
         # Zero contributions land on segment 0 — harmless.
         contrib = jnp.pad(contrib, ((0, Opad - O), (0, 0)))
         seg_ids = jnp.pad(seg_ids, (0, Opad - O))
-    S = _round_up(num_segments, 8)
+    St = min(_round_up(num_segments, 8), SEGT)
+    n_seg_tiles = -(-_round_up(num_segments, 8) // St)
     out = pl.pallas_call(
         _full_kernel,
-        grid=(Opad // TILE,),
+        grid=(n_seg_tiles, Opad // TILE),
         in_specs=[
-            pl.BlockSpec((TILE, 1), lambda t: (t, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE, K), lambda t: (t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE, 1), lambda s, o: (o, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE, K), lambda s, o: (o, 0),
+                         memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((S, K), lambda t: (0, 0),
+        out_specs=pl.BlockSpec((St, K), lambda s, o: (s, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((S, K), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_seg_tiles * St, K), jnp.float32),
         cost_estimate=pl.CostEstimate(
-            flops=2 * Opad * S * K,
-            bytes_accessed=(Opad * (K + 1) + S * K) * 4,
+            flops=2 * n_seg_tiles * Opad * St * K,
+            bytes_accessed=(n_seg_tiles * Opad * (K + 1)
+                            + n_seg_tiles * St * K) * 4,
             transcendentals=0,
         ),
         interpret=interpret,

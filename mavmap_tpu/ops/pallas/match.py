@@ -168,9 +168,27 @@ def match_brute_force_pallas(
 ):
     """Fused drop-in for ops.matching.match_brute_force (same semantics:
     2-NN + Lowe ratio both directions, symmetric cross-check, optional
-    pixel-distance prefilter). Requires N1 % TILE_M == 0 and N2 % 128 == 0
-    (the provider capacity convention).
+    pixel-distance prefilter). Ragged capacities are padded to the kernel
+    tile (N1 -> TILE_M multiple, N2 -> 128 multiple) with masked-out rows/
+    columns, so ANY provider capacity takes the Pallas path.
     """
+    N1_in, N2_in = d1.shape[0], d2.shape[0]
+    M1 = -(-N1_in // TILE_M) * TILE_M
+    M2 = -(-N2_in // 128) * 128
+    if M1 != N1_in or M2 != N2_in:
+        if mask1 is None:
+            mask1 = jnp.ones(N1_in, bool)
+        if mask2 is None:
+            mask2 = jnp.ones(N2_in, bool)
+        pad1, pad2 = M1 - N1_in, M2 - N2_in
+        d1 = jnp.pad(d1, ((0, pad1), (0, 0)))
+        d2 = jnp.pad(d2, ((0, pad2), (0, 0)))
+        mask1 = jnp.pad(mask1, (0, pad1))  # False: BIG row penalty
+        mask2 = jnp.pad(mask2, (0, pad2))  # False: BIG column penalty
+        if kp1 is not None:
+            kp1 = jnp.pad(kp1, ((0, pad1), (0, 0)))
+        if kp2 is not None:
+            kp2 = jnp.pad(kp2, ((0, pad2), (0, 0)))
     N1 = d1.shape[0]
     rowpen = (
         jnp.where(mask1, 0.0, BIG).astype(jnp.float32)[:, None]
@@ -197,4 +215,4 @@ def match_brute_force_pallas(
     if mask1 is not None:
         ok = ok & mask1
     matches = jnp.where(ok, row_arg, -1).astype(jnp.int32)
-    return matches, ok
+    return matches[:N1_in], ok[:N1_in]

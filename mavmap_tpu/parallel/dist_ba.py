@@ -20,7 +20,7 @@ shard_map — the psum'd cost makes every shard take identical decisions, so
 the loop stays collective-consistent without host round-trips.
 """
 
-from functools import partial
+from functools import lru_cache, partial
 
 import numpy as np
 
@@ -42,7 +42,7 @@ def partition_problem(
     num_shards,
     pose_states=None, point_fixed=None,
     rot_prior=None, rot_prior_weight=None,
-    with_pairs=True,
+    with_pairs=True, bucket=False,
 ):
     """Host-side: split a BA problem into `num_shards` point-disjoint shards.
 
@@ -88,9 +88,14 @@ def partition_problem(
         point_fixed if point_fixed is not None else False
     )
 
-    # Group observations per shard, padded to a common length.
+    # Group observations per shard, padded to a common length. With
+    # `bucket` the per-shard obs capacity (and the image/point dims inside
+    # build_problem) round up to coarse quanta so repeated pipeline global
+    # BAs hit the jit cache instead of recompiling per problem size.
     obs_shard = point_shard[obs_point]
     max_obs = int(np.max(np.bincount(obs_shard, minlength=num_shards)))
+    if bucket:
+        max_obs = max(((max_obs + 4095) // 4096) * 4096, 4096)
 
     def build_shard(s):
         sel = np.where(obs_shard == s)[0]
@@ -102,7 +107,7 @@ def partition_problem(
             poses, new_points, cam_params, cam_models, oi, op, oc, uv,
             pose_states=pose_states, point_fixed=new_point_fixed,
             rot_prior=rot_prior, rot_prior_weight=rot_prior_weight,
-            obs_capacity=max_obs, with_pairs=with_pairs,
+            obs_capacity=max_obs, with_pairs=with_pairs, bucket=bucket,
         )
 
     shards = [build_shard(s) for s in range(num_shards)]
@@ -201,20 +206,41 @@ def _dist_lm_loop(prob: BAProblem, scale, lambda_init, max_iters, axis,
 
 def dist_bundle_adjust(mesh, stacked_prob: BAProblem, scale=1.0,
                        lambda_init=1e-4, max_iters=20, axis="obs",
-                       solver="auto", cg_max_iters=100, cg_tol=1e-3):
+                       solver="auto", cg_max_iters=100, cg_tol=1e-3,
+                       per_shard=None):
     """Run the distributed LM loop over `mesh` (1-D, axis name `axis`).
 
     stacked_prob: BAProblem from `partition_problem` — obs/pair arrays have
     a leading shard axis (sharded over the mesh); poses/points/cams are
     replicated inputs, with `points` rows blocked per shard so each shard
     updates only its own block (combined with psum of zeros elsewhere).
+    per_shard: the point-block size partition_problem returned. REQUIRED
+    when the problem was built with bucket=True (the points array then
+    carries padding rows, so recomputing the block size from its shape
+    would shift the ownership ranges and drop solved rows from the psum).
     Returns (poses, points, final_cost, initial_cost, iters).
     """
     n = mesh.devices.size
-    per_shard = stacked_prob.points.shape[1] // n if stacked_prob.points.ndim == 3 else stacked_prob.points.shape[0] // n
+    if per_shard is None:
+        per_shard = (stacked_prob.points.shape[1] // n
+                     if stacked_prob.points.ndim == 3
+                     else stacked_prob.points.shape[0] // n)
     if solver == "auto":
         ncams = stacked_prob.poses.shape[-2]
         solver = "cg" if ncams >= DENSE_SOLVER_MAX_CAMERAS else "dense"
+
+    fn = _dist_ba_fn(mesh, axis, solver, float(scale), float(lambda_init),
+                     int(max_iters), int(cg_max_iters), float(cg_tol),
+                     int(per_shard))
+    return fn(stacked_prob)
+
+
+@lru_cache(maxsize=32)
+def _dist_ba_fn(mesh, axis, solver, scale, lambda_init, max_iters,
+                cg_max_iters, cg_tol, per_shard):
+    """Cached jit(shard_map) wrapper: jit handles shape polymorphism; this
+    cache keeps one traced wrapper per (mesh, solver config) so repeated
+    pipeline global BAs don't re-trace the whole LM loop."""
 
     def shard_fn(prob_local):
         # prob_local: leading shard axis of size 1 for per-shard arrays.
@@ -232,12 +258,8 @@ def dist_bundle_adjust(mesh, stacked_prob: BAProblem, scale=1.0,
         points_full = jax.lax.psum(points_own, axis)
         return poses, points_full, cost, init_cost, it
 
-    specs_in = jax.tree.map(lambda _: P(axis), stacked_prob)
-    out_specs = (P(), P(), P(), P(), P())
-    fn = jax.jit(
-        jax.shard_map(
-            shard_fn, mesh=mesh, in_specs=(specs_in,), out_specs=out_specs,
-            check_vma=False,
-        )
-    )
-    return fn(stacked_prob)
+    spec_tree = BAProblem(*([P(axis)] * len(BAProblem._fields)))
+    return jax.jit(jax.shard_map(
+        shard_fn, mesh=mesh, in_specs=(spec_tree,),
+        out_specs=(P(), P(), P(), P(), P()), check_vma=False,
+    ))

@@ -72,12 +72,19 @@ class SequentialMapper:
         seed=0,
         store_backend="auto",
         cache_capacity=128,
+        mesh=None,
     ):
         """image_cameras: (num_images,) camera index per dataset image;
         cam_models/cam_params: per-camera model codes and padded params;
         feature_provider: FeatureProvider with fixed capacity;
         store_backend: 'python' | 'native' | 'auto' (C++ track core);
-        cache_capacity: max images kept in the host/device feature caches."""
+        cache_capacity: max images kept in the host/device feature caches;
+        mesh: optional jax.sharding.Mesh (1-D) — when it has >1 device the
+        batched fan-outs (back-fill pairs, closure candidates, match
+        pre-gates) shard over it and the global BA runs distributed
+        (parallel/dist_ba.py) instead of single-device."""
+        self.mesh = mesh if (mesh is not None and mesh.devices.size > 1) \
+            else None
         self.image_cameras = np.asarray(image_cameras, np.int32)
         self.cam_models = np.asarray(cam_models, np.int32)
         self.cam_params = np.asarray(cam_params, np.float32)
@@ -157,14 +164,23 @@ class SequentialMapper:
 
     def _matcher_backend(self, options):
         """Resolve options.matcher_backend: 'auto' = the fused Pallas
-        matcher on TPU when the provider capacity is 128-aligned (the
-        kernel's tile constraint), XLA elsewhere."""
+        matcher on TPU (ragged capacities are tile-padded inside the
+        kernel wrapper), XLA elsewhere. The resolved choice is recorded in
+        `matcher_backend_resolved` so benches/tests can assert the
+        production path actually hit Pallas rather than silently
+        degrading."""
+        from ..ba.core import default_platform
+
         b = getattr(options, "matcher_backend", "auto")
-        if b != "auto":
-            return b
-        if jax.default_backend() == "tpu" and self.provider.capacity % 128 == 0:
-            return "pallas"
-        return "xla"
+        if b == "auto":
+            if self.mesh is not None:
+                plat = self.mesh.devices.flatten()[0].platform
+            else:
+                plat = default_platform()
+            b = "pallas" if plat == "tpu" else "xla"
+        if getattr(self, "matcher_backend_resolved", None) != b:
+            self.matcher_backend_resolved = b
+        return b
 
     def _norm_threshold(self, px, image_idx):
         ci = self.image_cameras[image_idx]
@@ -783,11 +799,24 @@ class SequentialMapper:
             return np.zeros(0, np.int64)
         kpq, dq, mq, _ = self._device_features(image_idx)
         # Fixed batch of 32 (loop-detection queries return <= ~30): ONE
-        # compiled executable instead of one per batch-size bucket.
+        # compiled executable instead of one per batch-size bucket. With a
+        # mesh, 32 stays divisible by any power-of-two mesh; round up
+        # otherwise so the candidate axis shards evenly.
         B = int(np.ceil(len(cand_idxs) / 32)) * 32
+        if self.mesh is not None:
+            S = self.mesh.devices.size
+            B = int(np.ceil(B / S)) * S
         rows = list(cand_idxs) + [cand_idxs[0]] * (B - len(cand_idxs))
         dstack = jnp.stack([self._device_features(i)[1] for i in rows])
         mstack = jnp.stack([self._device_features(i)[2] for i in rows])
+
+        if self.mesh is not None:
+            from ..parallel.dist_register import dist_match_counts
+
+            c = np.asarray(dist_match_counts(
+                self.mesh, dq, mq, dstack, mstack,
+                jnp.float32(options.match_max_ratio)))
+            return c[: len(cand_idxs)]
 
         @jax.jit
         def counts(dq, mq, dstack, mstack):
@@ -876,8 +905,12 @@ class SequentialMapper:
         self.flush_ba()  # registration anchors on post-BA poses/points
         # Fixed batch of 8, chunked: every call hits the SAME compiled
         # executable (power-of-two buckets paid a fresh ~10 s XLA compile
-        # per new size; candidate counts vary call to call).
+        # per new size; candidate counts vary call to call). With a mesh,
+        # the batch rounds up to a mesh multiple and shards over devices.
         CH = 8
+        if self.mesh is not None:
+            S = self.mesh.devices.size
+            CH = int(np.ceil(CH / S)) * S
         if len(cand_idxs) > CH:
             out = []
             for k in range(0, len(cand_idxs), CH):
@@ -895,7 +928,7 @@ class SequentialMapper:
         ci = self.image_cameras[image_idx]
 
         keys = jax.random.split(self._next_key(), B)
-        rows, scalars = register_view_batch(
+        args = (
             keys,
             jnp.stack([f[0] for f in feats]),
             jnp.stack([f[1] for f in feats]),
@@ -912,9 +945,21 @@ class SequentialMapper:
             jnp.float32(options.match_max_distance
                         if options.match_max_distance > 0 else 1e9),
             jnp.float32(nt),
-            p3p_trials=options.p3p_ransac_trials,
-            matcher=self._matcher_backend(options),
         )
+        if self.mesh is not None:
+            from ..parallel.dist_register import dist_register_view_batch
+
+            rows, scalars = dist_register_view_batch(
+                self.mesh, *args,
+                p3p_trials=options.p3p_ransac_trials,
+                matcher=self._matcher_backend(options),
+            )
+        else:
+            rows, scalars = register_view_batch(
+                *args,
+                p3p_trials=options.p3p_ransac_trials,
+                matcher=self._matcher_backend(options),
+            )
         rows, scalars = jax.device_get((rows, scalars))
         out = []
         for k in range(len(cand_idxs)):
@@ -941,8 +986,12 @@ class SequentialMapper:
         self.flush_ba()
         # Fixed chunk of 8: one compiled executable for every sweep (also
         # bounds HBM — B vmapped register kernels hold B full match
-        # matrices).
+        # matrices). With a mesh, round up to a mesh multiple: each device
+        # holds only its B/S slice, so HBM per device stays bounded.
         MAX_B = 8
+        if self.mesh is not None:
+            S = self.mesh.devices.size
+            MAX_B = int(np.ceil(MAX_B / S)) * S
         if len(pairs) > MAX_B:
             out = []
             for k in range(0, len(pairs), MAX_B):
@@ -971,7 +1020,7 @@ class SequentialMapper:
             cis.append(cis[0])
 
         keys = jax.random.split(self._next_key(), B)
-        rows, scalars = register_view_pairs(
+        args = (
             keys,
             jnp.stack([f[0] for f in pf]), jnp.stack([f[1] for f in pf]),
             jnp.stack([f[2] for f in pf]), jnp.stack([f[3] for f in pf]),
@@ -988,9 +1037,21 @@ class SequentialMapper:
             jnp.float32(options.match_max_distance
                         if options.match_max_distance > 0 else 1e9),
             jnp.asarray(nts, jnp.float32),
-            p3p_trials=options.p3p_ransac_trials,
-            matcher=self._matcher_backend(options),
         )
+        if self.mesh is not None:
+            from ..parallel.dist_register import dist_register_view_pairs
+
+            rows, scalars = dist_register_view_pairs(
+                self.mesh, *args,
+                p3p_trials=options.p3p_ransac_trials,
+                matcher=self._matcher_backend(options),
+            )
+        else:
+            rows, scalars = register_view_pairs(
+                *args,
+                p3p_trials=options.p3p_ransac_trials,
+                matcher=self._matcher_backend(options),
+            )
         rows, scalars = jax.device_get((rows, scalars))
         out = []
         for k, (curr, prev) in enumerate(pairs):
@@ -1060,6 +1121,34 @@ class SequentialMapper:
         common = [
             idx for idx in other.image_idx_to_id if self.is_image_processed(idx)
         ]
+        if len(common) < 3:
+            # Fallback (beyond reference sequential_mapper.cc:1311-1315,
+            # which just fails): widen the overlap retroactively via
+            # SEQUENCE ADJACENCY — register frames that `other` processed
+            # near this mapper's boundary directly into this map (exactly
+            # the back-fill mechanism), so they become common anchors.
+            # Covers --no-loop-detection runs and segments whose shared
+            # overlap was eaten by a mid-overlap sub-map restart.
+            mine = sorted(self.image_idx_to_id.keys())
+            cand_pairs = []
+            for idx in sorted(other.image_idx_to_id.keys()):
+                if self.is_image_processed(idx):
+                    continue
+                below = [p for p in mine if p < idx]
+                above = [p for p in mine if p > idx]
+                if below:
+                    cand_pairs.append((abs(idx - below[-1]), idx, below[-1]))
+                if above:
+                    cand_pairs.append((abs(idx - above[0]), idx, above[0]))
+            cand_pairs.sort()
+            pairs = [(c, p) for _, c, p in cand_pairs[:16]]
+            if pairs:
+                self.batch_register_pairs(pairs, options)
+                common = [idx for idx in other.image_idx_to_id
+                          if self.is_image_processed(idx)]
+                if verbose and len(common) >= 3:
+                    print(f"Merge overlap widened to {len(common)} common "
+                          f"images via adjacency registration")
         if len(common) < 3:
             return False
 
@@ -1227,6 +1316,38 @@ class SequentialMapper:
         self._norm_cache.clear()
         self._dev_norm_cache.clear()
 
+    def _align_model_to_rot_prior(self, fixed_image_idx, prior_rvec):
+        """Rotate all poses + points into the rotation-prior frame.
+
+        Counterpart of the reference's model re-alignment before adding
+        rotation constraints (bundle_adjustment.cc:390-446): from the first
+        fixed image's estimated rotation R_est and prior rotation R_pri
+        (both world->cam; priors live in the IMU world frame), the frame
+        rotation is A = R_pri^T @ R_est (x_imu = A x_model). Points map as
+        X' = A X and poses as R' = R A^T with t unchanged, so after the
+        alignment the fixed image's rotation equals its prior exactly and
+        the free images' w*(R - R0) residuals compare in the priors' frame.
+        """
+        import jax.numpy as jnp
+        from ..ops.rotation import rotmat_from_rvec, rvec_from_rotmat
+
+        iid = self.image_idx_to_id[fixed_image_idx]
+        R_est = np.asarray(rotmat_from_rvec(
+            jnp.asarray(self.store.image_rvecs[iid], jnp.float32)))
+        R_pri = np.asarray(rotmat_from_rvec(
+            jnp.asarray(np.asarray(prior_rvec, np.float32))))
+        A = R_pri.T @ R_est
+        if np.abs(A - np.eye(3, dtype=A.dtype)).max() < 1e-7:
+            return
+        reg = np.where(self.store.image_registered[: self.store.num_images])[0]
+        R = np.asarray(rotmat_from_rvec(
+            jnp.asarray(self.store.image_rvecs[reg], jnp.float32)))
+        self.store.image_rvecs[reg] = np.asarray(
+            rvec_from_rotmat(jnp.asarray(R @ A.T)))
+        valid = self.store.point3D_valid
+        self.store.point3D_xyz[valid] = (
+            self.store.point3D_xyz[valid] @ A.T.astype(np.float32))
+
     def adjust_bundle(
         self,
         free_image_idxs,
@@ -1254,7 +1375,8 @@ class SequentialMapper:
         from ..ba import bundle_adjust_async
         from ..ba import BA_POSE_FIXED, BA_POSE_FIXED_X
 
-        if async_ and defer:
+        align = bool(rot_priors) and rot_prior_weight > 0
+        if async_ and defer and not align:
             # Don't block on in-flight solves; deferred problems queue (a
             # chained frame run defers one window BA per frame). Bound the
             # queue: past 8 stashed problems something is wrong upstream —
@@ -1263,6 +1385,18 @@ class SequentialMapper:
                 self.flush_ba()
         else:
             self.flush_ba()  # results of a previous async solve land first
+        if align:
+            # IMU-frame pre-alignment (reference
+            # bundle_adjustment.cc:390-446): rotate the ENTIRE model into
+            # the constraint frame, computed from the first fixed image's
+            # estimated vs prior rotation, BEFORE adding the per-image
+            # rotation residuals. Without this the priors pull toward an
+            # arbitrary SfM gauge frame. The flush above guarantees no
+            # in-flight solve was built in the pre-alignment frame.
+            for fi in list(fixed_image_idxs) + list(fixed_x_image_idxs):
+                if fi in rot_priors and fi in self.image_idx_to_id:
+                    self._align_model_to_rot_prior(fi, rot_priors[fi])
+                    break
         ba_options = ba_options or BAOptions()
         sel_idxs = list(free_image_idxs) + list(fixed_image_idxs) + list(fixed_x_image_idxs)
         sel_ids = [self.image_idx_to_id[i] for i in sel_idxs]
@@ -1378,17 +1512,145 @@ class SequentialMapper:
     def adjust_global_bundle(self, ba_options=None, rot_priors=None,
                              rot_prior_weight=0.0, gcp_point_ids=()):
         """Global BA: first processed pose fixed, second's x-translation
-        fixed (reference sequential_mapper.cc:1092-1158)."""
+        fixed (reference sequential_mapper.cc:1092-1158). With a mesh
+        attached, the solve runs distributed (points/observations sharded,
+        camera system psum-reduced — parallel/dist_ba.py) instead of
+        single-device; results are identical up to collective reduction
+        order (tests/test_parallel.py pipeline equality test)."""
         reg = [iid for iid in range(self.store.num_images)
                if self.store.image_registered[iid]]
         if len(reg) < 2:
             return None
         idxs = [self.image_id_to_idx[iid] for iid in reg]
+        if self.mesh is not None:
+            return self._adjust_global_bundle_dist(
+                idxs, ba_options=ba_options, rot_priors=rot_priors,
+                rot_prior_weight=rot_prior_weight,
+                gcp_point_ids=gcp_point_ids)
         return self.adjust_bundle(
             idxs[2:], [idxs[0]], [idxs[1]], ba_options=ba_options,
             rot_priors=rot_priors, rot_prior_weight=rot_prior_weight,
             gcp_point_ids=gcp_point_ids,
         )
+
+    def _adjust_global_bundle_dist(self, idxs, ba_options=None,
+                                   rot_priors=None, rot_prior_weight=0.0,
+                                   gcp_point_ids=()):
+        """Distributed global BA over `self.mesh` — the product path for
+        the solve the reference hands to Ceres SPARSE_SCHUR threading
+        (bundle_adjustment.cc:554-569): 3-D points and their observations
+        shard across devices (point-disjoint, so point-block elimination
+        and back-substitution stay shard-local), poses replicate, and the
+        reduced camera system is psum-reduced per LM iteration.
+
+        Self-calibration runs as the usual two-stage split: stage 1
+        refines the shared intrinsics on an observation subsample on ONE
+        device (intrinsics are a handful of scalars — no reason to
+        distribute), stage 2 solves the full problem on the mesh with the
+        refined intrinsics held fixed.
+        """
+        from ..ba import BAOptions, build_problem, bundle_adjust
+        from ..ba import BA_POSE_FIXED, BA_POSE_FIXED_X
+        from ..ba.core import point_mean_errors
+        from ..parallel.dist_ba import dist_bundle_adjust, partition_problem
+
+        ba_options = ba_options or BAOptions()
+        align = bool(rot_priors) and rot_prior_weight > 0
+        if align:
+            for fi in idxs[:2]:
+                if fi in rot_priors:
+                    self._align_model_to_rot_prior(fi, rot_priors[fi])
+                    break
+
+        (image_ids, poses, pids, points, obs_image, obs_point, obs_cam,
+         obs_xy) = self.ba_problem_arrays(
+            min_track_len=ba_options.min_track_len)
+        if len(obs_xy) == 0:
+            return None
+        states = [0] * len(image_ids)
+        states[0] = BA_POSE_FIXED
+        if len(states) > 1:
+            states[1] = BA_POSE_FIXED_X
+        counts = np.bincount(obs_point, minlength=len(points))
+        point_fixed = counts < 2
+        if len(gcp_point_ids):
+            point_fixed |= np.isin(pids, np.asarray(list(gcp_point_ids)))
+
+        rp = np.zeros((len(image_ids), 3), np.float32)
+        rw = np.zeros((len(image_ids),), np.float32)
+        if rot_priors:
+            for k, iid in enumerate(image_ids):
+                idx = self.image_id_to_idx[iid]
+                if idx in rot_priors:
+                    rp[k] = rot_priors[idx]
+                    rw[k] = rot_prior_weight
+
+        if ba_options.refine_camera_params:
+            # Stage 1: selfcal on a single-device subsample.
+            from dataclasses import replace as _dc_replace
+
+            stride = max(int(np.ceil(len(obs_xy) /
+                                     ba_options.selfcal_max_obs)), 1)
+            sub = np.arange(0, len(obs_xy), stride)
+            pids_s, obs_point_s, counts_s = np.unique(
+                obs_point[sub], return_inverse=True, return_counts=True)
+            point_fixed_s = counts_s < 2
+            prob_s = build_problem(
+                poses, points[pids_s],
+                self.store.camera_params.astype(np.float32),
+                self.store.camera_models, obs_image[sub],
+                obs_point_s.astype(np.int32), obs_cam[sub], obs_xy[sub],
+                pose_states=states, point_fixed=point_fixed_s,
+                rot_prior=rp, rot_prior_weight=rw, bucket=True, host=True,
+            )
+            _, _, info_s = bundle_adjust(
+                prob_s,
+                _dc_replace(ba_options, update_point3D_errors=False),
+                num_obs=len(sub))
+            self._adopt_cam_params(np.asarray(info_s["cam_params"]))
+
+        S = self.mesh.devices.size
+        stacked, new_index, per_shard = partition_problem(
+            poses, points, self.store.camera_params.astype(np.float32),
+            self.store.camera_models, obs_image, obs_point, obs_cam, obs_xy,
+            num_shards=S, pose_states=states, point_fixed=point_fixed,
+            rot_prior=rp, rot_prior_weight=rw, with_pairs=False,
+            bucket=True,
+        )
+        new_poses, new_points_perm, cost, init_cost, iters = (
+            dist_bundle_adjust(
+                self.mesh, stacked,
+                scale=ba_options.loss_scale_factor,
+                lambda_init=ba_options.lambda_init,
+                max_iters=ba_options.max_num_iterations,
+                axis=self.mesh.axis_names[0],
+                solver="auto", per_shard=per_shard,
+            ))
+        new_poses = np.asarray(new_poses)[: len(image_ids)]
+        new_points = np.asarray(new_points_perm)[new_index]
+
+        point_errors = None
+        if ba_options.update_point3D_errors:
+            # Per-point mean residuals on one device (read-only pass).
+            prob_e = build_problem(
+                new_poses, new_points,
+                self.store.camera_params.astype(np.float32),
+                self.store.camera_models, obs_image, obs_point, obs_cam,
+                obs_xy, pose_states=states, point_fixed=point_fixed,
+                bucket=True, host=True,
+            )
+            prob_e = jax.tree.map(jnp.asarray, prob_e)
+            point_errors = np.asarray(point_mean_errors(
+                prob_e, prob_e.poses, prob_e.points))[: len(points)]
+
+        self.apply_ba_result(image_ids, new_poses, pids, new_points,
+                             point_errors=point_errors)
+        return {
+            "iterations": int(iters),
+            "initial_cost": float(init_cost),
+            "final_cost": float(cost),
+            "distributed": S,
+        }
 
     def ba_problem_arrays(self, min_track_len=2):
         """Arrays for bundle adjustment over the current map.
@@ -1399,7 +1661,6 @@ class SequentialMapper:
         self.flush_ba()
         image_ids = [iid for iid in range(self.store.num_images)
                      if self.store.image_registered[iid]]
-        id_to_row = {iid: k for k, iid in enumerate(image_ids)}
         poses = np.concatenate(
             [self.store.image_rvecs[image_ids], self.store.image_tvecs[image_ids]],
             axis=1,
@@ -1409,11 +1670,14 @@ class SequentialMapper:
             min_track_len=min_track_len
         )
         pids = np.unique(obs_pt_raw)
-        pid_to_row = {int(p): k for k, p in enumerate(pids)}
         points = self.store.point3D_xyz[pids].astype(np.float32)
 
-        obs_image = np.array([id_to_row[int(i)] for i in obs_img_raw], np.int32)
-        obs_point = np.array([pid_to_row[int(p)] for p in obs_pt_raw], np.int32)
+        # Dense row maps via searchsorted over the sorted id arrays — the
+        # previous per-observation dict lookups were ~0.5 s of interpreter
+        # work per global BA at the 344k-obs scale.
+        image_ids_arr = np.asarray(image_ids, np.int64)
+        obs_image = np.searchsorted(image_ids_arr, obs_img_raw).astype(np.int32)
+        obs_point = np.searchsorted(pids, obs_pt_raw).astype(np.int32)
         obs_cam = self.store.image_cameras[obs_img_raw].astype(np.int32)
         return (
             image_ids,

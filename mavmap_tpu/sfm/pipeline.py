@@ -95,6 +95,14 @@ class PipelineOptions:
     # globally-adjusted map.
     final_closure_sweeps: int = 1
     final_closure_step: int = 4
+    # Device mesh (beyond the reference, which is single-process): 1 =
+    # single-device, 0 = all visible devices, N > 1 = first N devices.
+    # With >1 device the global BA runs distributed (points/observations
+    # sharded, camera system psum-reduced) and the batched fan-outs
+    # (back-fill pairs, closure candidates, match pre-gates) shard over
+    # the mesh. Results match single-device up to collective reduction
+    # order (tests/test_parallel.py).
+    mesh_devices: int = 1
     debug: bool = False
     debug_path: str = ""
 
@@ -479,7 +487,13 @@ def _run_segments_parallel(new_mapper, start, end, opts: PipelineOptions,
     S = opts.parallel_segments
     n = end - start + 1
     step = int(np.ceil(n / S))
-    overlap = max(opts.segment_overlap, 1)
+    # The boundary merge aligns sub-maps on common images and needs >= 3
+    # of them (mapper.merge, reference sequential_mapper.cc:1311-1315);
+    # a smaller overlap would silently produce sub-maps that cannot merge.
+    overlap = max(opts.segment_overlap, 3)
+    if opts.segment_overlap < 3 and opts.verbose:
+        print(f"segment-overlap {opts.segment_overlap} raised to 3 "
+              f"(merge needs >= 3 common images)")
     mappers = []
     segs = []
     for s in range(S):
@@ -659,10 +673,35 @@ def run_pipeline(
         dumper = DebugDumper(opts.debug_path,
                              image_reader=getattr(provider, "image", None))
 
+    mesh = None
+    nd = opts.mesh_devices
+    if nd == 0 or nd > 1:
+        import jax
+        from jax.sharding import Mesh
+
+        devs = jax.devices()
+        if nd > len(devs):
+            # Fewer accelerators than requested: fall back to the host
+            # platform's virtual devices (xla_force_host_platform_device
+            # _count) — the dryrun/test configuration.
+            try:
+                cpu = jax.devices("cpu")
+                if len(cpu) > len(devs):
+                    devs = cpu
+            except RuntimeError:
+                pass
+        nd = len(devs) if nd == 0 else min(nd, len(devs))
+        if nd > 1:
+            mesh = Mesh(np.array(devs[:nd]), ("sfm",))
+            if opts.verbose:
+                print(f"Mesh: {nd} devices (distributed global BA + "
+                      f"sharded fan-outs)")
+
     def new_mapper(seed):
         det = LoopDetector(voc_tree) if (voc_tree is not None and opts.loop_detection) else None
         m = SequentialMapper(image_cameras, cam_models, cam_params,
-                             provider, loop_detector=det, seed=seed)
+                             provider, loop_detector=det, seed=seed,
+                             mesh=mesh)
         m.debug_dumper = dumper
         return m
 
@@ -753,6 +792,12 @@ def run_pipeline(
         # Sequential step (mapper.cc:1088-1148).
         seq_opts = _mapper_options(opts, num_proc=mapper.num_proc_images)
         chain = []
+        # Chain gate `num_proc_images >= 2` (not the min_track_len maturity
+        # ramp): intentional — _mapper_options already applies the
+        # bootstrap min_track_len=2 ramp to seq_opts, the per-frame host
+        # gates veto immature chains frame by frame, and the segment loop's
+        # try_dispatch uses the same condition (A/B'd by
+        # test_chained_registration_matches_sequential).
         if (opts.chain_frames and not opts.process_prev_prev
                 and opts.chain_len >= 2
                 and mapper.num_proc_images >= 2
@@ -859,9 +904,22 @@ def run_pipeline(
                 _global_ba(m, opts, rot_priors)
 
     mappers = [m for m in mappers if m.num_proc_images > 0]
+    merged = False
     if len(mappers) > 1 and opts.merge:
         with _stage("merge"):
             mappers = merge_mappers(mappers, opts)
+            merged = True
+    # Full-range back-fill + re-BA (reference mapper.cc:1201-1209) — also
+    # when the merge was SKIPPED but some mapper's pre-merge back-fill was
+    # clamped to its own segment range (parallel-segments mode with a
+    # single surviving mapper, or --no-merge): sequential mode would have
+    # attempted those frames, so parallel mode must too.
+    clamped = any(
+        getattr(m, "_segment_range", (start, end)) != (start, end)
+        for m in mappers
+    )
+    if merged or clamped:
+        with _stage("merge" if merged else "backfill"):
             for m in mappers:
                 process_remaining_images(m, start, end, opts)
                 _global_ba(m, opts, rot_priors)

@@ -105,7 +105,47 @@ def main():
     dx = np.abs(np.asarray(x2)[new_index] - np.asarray(x1)).max()
     assert dp < 1e-4, dp
     assert dx < 1e-3, dx
-    print(f"proc {pid}: OK dp={dp:.2e} dx={dx:.2e} iters={int(iters)}",
+
+    # Sharded MATCHING over the same global mesh: each process feeds only
+    # its local block of the pair batch; every local result shard must
+    # equal the single-process vmapped matcher (the other half of the
+    # dryrun's claim — dist BA alone was covered before).
+    from mavmap_tpu.ops.matching import match_brute_force
+    from mavmap_tpu.parallel import dist_match_pairs
+
+    B, F, D = n_shards * 2, 64, 32
+    rngm = np.random.default_rng(7)
+    d1 = rngm.normal(size=(B, F, D)).astype(np.float32)
+    d1 /= np.linalg.norm(d1, axis=-1, keepdims=True)
+    d2 = d1[:, rngm.permutation(F)] + \
+        rngm.normal(size=(B, F, D)).astype(np.float32) * 0.02
+    d2 /= np.linalg.norm(d2, axis=-1, keepdims=True)
+    m1 = np.ones((B, F), bool)
+    m2 = np.ones((B, F), bool)
+    m2[:, -5:] = False
+
+    per_proc = B // nprocs
+    blo, bhi = pid * per_proc, (pid + 1) * per_proc
+    gd1, gd2, gm1, gm2 = (
+        host_local_to_global(mesh, a[blo:bhi]) for a in (d1, d2, m1, m2)
+    )
+    matches, valid = dist_match_pairs(mesh, gd1, gd2, gm1, gm2)
+
+    ref_m, ref_ok = jax.vmap(
+        lambda a, b, ma, mb: match_brute_force(a, b, ma, mb)
+    )(jnp.asarray(d1), jnp.asarray(d2), jnp.asarray(m1), jnp.asarray(m2))
+    ref_m, ref_ok = np.asarray(ref_m), np.asarray(ref_ok)
+    n_checked = 0
+    for shard in matches.addressable_shards:
+        b0 = shard.index[0].start or 0
+        got = np.asarray(shard.data)
+        np.testing.assert_array_equal(got, ref_m[b0:b0 + got.shape[0]])
+        n_checked += got.shape[0]
+    assert n_checked == per_proc, n_checked
+    assert ref_ok.sum() > 0.8 * B * (F - 5)
+
+    print(f"proc {pid}: OK dp={dp:.2e} dx={dx:.2e} iters={int(iters)} "
+          f"match_shards={n_checked}",
           flush=True)
 
 

@@ -137,8 +137,9 @@ def test_voctree_reference_binary_roundtrip(rng, tmp_path):
 
 
 def test_sparse_scoring_matches_dense(rng):
-    """Posting-list scoring == dense-matmul scoring (rankings identical,
-    scores equal up to the dense path's bf16 rounding)."""
+    """Posting-list scoring == dense-matmul scoring: rankings identical
+    and scores tight — both paths are f32, so near-tie rankings cannot
+    flip at the dense/sparse switchover (64k words)."""
     train = _desc(rng, 4000)
     tree = train_voc_tree(train, branching=4, depth=3, iters=4)
     dense = LoopDetector(tree, score_mode="dense")
@@ -154,7 +155,7 @@ def test_sparse_scoring_matches_dense(rng):
         i_d, s_d = dense.query(_features(q), num_images=10, use_idf=use_idf)
         i_s, s_s = sparse.query(_features(q), num_images=10, use_idf=use_idf)
         np.testing.assert_array_equal(i_d, i_s)
-        np.testing.assert_allclose(s_d, s_s, atol=2e-2)
+        np.testing.assert_allclose(s_d, s_s, atol=2e-4)
     assert i_s[0] == 3
 
 

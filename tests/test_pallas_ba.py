@@ -138,3 +138,18 @@ def test_bundle_adjust_pallas_selfcal(rng):
     # match tightly (above), parameters to ~0.5%.
     np.testing.assert_allclose(info_p["cam_params"], info_x["cam_params"],
                                rtol=5e-3, atol=1e-2)
+
+
+def test_seg_accum_full_past_2048_segments(rng):
+    """The segment-tiled grid keeps the one-hot MXU path for ANY segment
+    count (the old kernel capped at 2048 and 1000+-image BAs fell back to
+    XLA scatter-adds)."""
+    O, K, S = 9000, 12, 5003  # 3 segment tiles
+    c = rng.normal(size=(O, K)).astype(np.float32)
+    ids = rng.integers(0, S, size=O).astype(np.int32)
+    ref = jax.ops.segment_sum(jnp.asarray(c), jnp.asarray(ids),
+                              num_segments=S)
+    got = seg_accum_full(jnp.asarray(c), jnp.asarray(ids), S, interpret=True)
+    assert got.shape == (S, K)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-4)

@@ -151,3 +151,53 @@ def test_pallas_match_vmap(rng, interpret_pallas):
                                    jnp.asarray(m1s), jnp.asarray(m2s))
     np.testing.assert_array_equal(np.asarray(mt_x), np.asarray(mt_p))
     np.testing.assert_array_equal(np.asarray(ok_x), np.asarray(ok_p))
+
+
+def test_pallas_match_ragged_capacity(rng, interpret_pallas):
+    """Ragged (non-128-aligned) capacities are tile-padded inside the
+    wrapper: any N1/N2 takes the Pallas path and agrees with XLA exactly
+    (the fallback blind spot: capacities off the 128 grid used to silently
+    degrade to XLA)."""
+    pm = interpret_pallas
+    for F1, F2 in [(200, 200), (130, 70), (96, 257)]:
+        d1 = rng.normal(size=(F1, 128)).astype(np.float32)
+        d1 /= np.linalg.norm(d1, axis=1, keepdims=True)
+        take = min(F1, F2)
+        d2 = np.concatenate([
+            d1[rng.permutation(F1)[:take]]
+            + rng.normal(size=(take, 128)).astype(np.float32) * 0.02,
+            rng.normal(size=(max(F2 - take, 0), 128)).astype(np.float32),
+        ])[:F2]
+        d2 /= np.linalg.norm(d2, axis=1, keepdims=True)
+        m1 = rng.random(F1) > 0.1
+        m2 = rng.random(F2) > 0.1
+
+        mt_ref, ok_ref = match_brute_force(
+            jnp.asarray(d1), jnp.asarray(d2), jnp.asarray(m1), jnp.asarray(m2)
+        )
+        mt_pal, ok_pal = pm.match_brute_force_pallas(
+            jnp.asarray(d1), jnp.asarray(d2), jnp.asarray(m1), jnp.asarray(m2)
+        )
+        assert mt_pal.shape == (F1,)
+        np.testing.assert_array_equal(np.asarray(mt_ref), np.asarray(mt_pal))
+        np.testing.assert_array_equal(np.asarray(ok_ref), np.asarray(ok_pal))
+
+
+def test_matcher_backend_resolves_pallas_on_tpu(rng, monkeypatch):
+    """'auto' resolves to pallas for ANY capacity on TPU, and the mapper
+    records the resolved backend for bench assertions."""
+    from mavmap_tpu.features import ArrayFeatureProvider
+    from mavmap_tpu.sfm import SequentialMapper, SequentialMapperOptions
+    import mavmap_tpu.ba.core as ba_core
+
+    feats = [(np.zeros((70, 2), np.float32),
+              np.zeros((70, 128), np.float32)) for _ in range(2)]
+    prov = ArrayFeatureProvider(feats, capacity=70)  # NOT 128-aligned
+    m = SequentialMapper(np.zeros(2, np.int32), np.array([1], np.int32),
+                         np.zeros((1, 9), np.float32), prov)
+    opts = SequentialMapperOptions()
+    monkeypatch.setattr(ba_core, "default_platform", lambda: "tpu")
+    assert m._matcher_backend(opts) == "pallas"
+    assert m.matcher_backend_resolved == "pallas"
+    monkeypatch.setattr(ba_core, "default_platform", lambda: "cpu")
+    assert m._matcher_backend(opts) == "xla"

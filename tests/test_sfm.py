@@ -252,3 +252,43 @@ def test_chained_registration_deferred_ba_fresh_anchor(rng):
     ate, nreg = _ate(m, scene)
     assert nreg == 14
     assert ate < 0.02, ate
+
+
+def test_imu_frame_pre_alignment(rng):
+    """_align_model_to_rot_prior rotates the whole model into the priors'
+    frame (reference bundle_adjustment.cc:390-446): after a constrained
+    adjust_bundle, the FIRST FIXED image's rotation equals its prior
+    exactly, and reprojection geometry is unchanged (pure frame rotation).
+    """
+    from mavmap_tpu.utils.synthetic import imu_priors
+
+    scene = make_uav_scene(num_images=5, num_points=900, relief=8.0, rows=1,
+                           seed=21)
+    feats, _ = render_features(scene, pixel_noise=0.2, clutter=8, seed=21)
+    m = _run_sequence(scene, feats)
+    priors = imu_priors(scene, noise=0.004, seed=21)
+
+    reg = sorted(m.image_idx_to_id.keys())
+    m.adjust_bundle(reg[2:], reg[:1], reg[1:2],
+                    ba_options=BAOptions(max_num_iterations=10),
+                    rot_priors=priors, rot_prior_weight=50.0)
+
+    # The alignment anchors the first fixed image at its prior BEFORE the
+    # solve; the solve keeps it fixed, so it must match the prior exactly.
+    iid = m.image_idx_to_id[reg[0]]
+    R_fix = np.asarray(rotmat_from_rvec(
+        jnp.asarray(m.store.image_rvecs[iid], jnp.float32)))
+    R_pri = np.asarray(rotmat_from_rvec(jnp.asarray(priors[reg[0]])))
+    assert np.abs(R_fix - R_pri).max() < 1e-4
+
+    # Free images land near their priors (absolute, priors' frame).
+    for i in reg[2:]:
+        R_e = np.asarray(rotmat_from_rvec(jnp.asarray(
+            m.store.image_rvecs[m.image_idx_to_id[i]], jnp.float32)))
+        R_p = np.asarray(rotmat_from_rvec(jnp.asarray(priors[i])))
+        assert np.abs(R_e - R_p).max() < 0.03
+
+    # Frame rotation preserves the reconstruction quality.
+    ate, nreg = _ate(m, scene)
+    assert nreg == 5
+    assert ate < 0.03, ate
