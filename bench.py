@@ -222,12 +222,19 @@ def main():
 
     ate = mapper_ate(m, scene)
 
+    backend = getattr(m, "matcher_backend_resolved", "unresolved")
     print(
         f"# registered {n_reg}/{NUM_IMAGES} in {elapsed:.2f}s | "
         f"ATE {ate:.4f} m | BA {ba_ms_per_iter:.1f} ms/iter | "
-        f"device {jax.devices()[0].device_kind}",
+        f"matcher {backend} | device {jax.devices()[0].device_kind}",
         file=sys.stderr,
     )
+    if jax.devices()[0].platform == "tpu" and backend != "pallas":
+        # The production bench must exercise the fused Pallas matcher on
+        # TPU — a silent XLA fallback here is a perf regression, not a
+        # config difference.
+        print("# WARNING: TPU bench did not resolve the Pallas matcher",
+              file=sys.stderr)
 
     baseline_fps = 3.4  # measured-component CPU estimate (module docstring)
     print(json.dumps({

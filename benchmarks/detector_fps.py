@@ -14,11 +14,14 @@ Prints one JSON line {"cold_fps", "warm_fps", "ate_m", "n_registered"}.
 """
 
 import json
+import os
 import shutil
 import sys
 import tempfile
 import time
 from pathlib import Path
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 

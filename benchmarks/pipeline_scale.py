@@ -4,8 +4,17 @@ Usage: python benchmarks/pipeline_scale.py [num_images] [rows] [sweeps]
 Defaults: 500 10 1. Prints registration rate, fps, sub-map count, points,
 and ATE vs the synthetic ground truth.
 """
+import os
 import sys
 import time
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 import numpy as np
 from mavmap_tpu.features import ArrayFeatureProvider
 from mavmap_tpu.loop import train_voc_tree
@@ -41,6 +50,15 @@ npts = int(m.store.point3D_valid.sum())
 print(f"N={N} sweeps={SWEEPS}: {m.num_proc_images}/{N} in {el:.1f}s "
       f"({m.num_proc_images/el:.2f} fps), maps={len(res.mappers)}, "
       f"points={npts}, ATE={ate:.4f} m", flush=True)
+try:
+    import jax
+
+    stats = jax.local_devices()[0].memory_stats() or {}
+    peak = stats.get("peak_bytes_in_use", 0)
+    if peak:
+        print(f"HBM watermark: {peak / 2**30:.2f} GiB", flush=True)
+except Exception:
+    pass
 if res.timings:
     print("stages: " + " | ".join(f"{k} {v:.1f}s"
                                   for k, v in res.timings.items()), flush=True)

@@ -131,6 +131,14 @@ def build_parser():
                         "attacks long-survey drift)")
     p.add_argument("--final-closure-step", type=int, default=4,
                    help="query every Nth registered image in a closure sweep")
+    p.add_argument("--save-map", default="",
+                   help="write a map checkpoint (npz: poses, points, "
+                        "tracks, cameras) after mapping (beyond the "
+                        "reference; utils/checkpoint.py)")
+    p.add_argument("--load-map", default="",
+                   help="resume from a map checkpoint: restore the map, "
+                        "back-fill remaining frames, re-run global BA, "
+                        "and write outputs (skips the mapping loop)")
     p.add_argument("--mesh", type=int, default=1,
                    help="device-mesh size for distributed global BA and "
                         "sharded matching fan-outs (beyond the reference): "
@@ -320,11 +328,41 @@ def main(argv=None):
         debug_path=args.debug_path,
     )
 
-    result = run_pipeline(
-        image_cameras, cam_models, cam_params, provider, opts,
-        voc_tree=voc_tree, rot_priors=rot_priors,
-        control_points=control_points,
-    )
+    if args.load_map:
+        # Resume path: restore the checkpointed map into a fresh mapper,
+        # then run only the post-pass (back-fill + global BA) + outputs.
+        from .sfm import SequentialMapper
+        from .sfm.pipeline import (PipelineResult, _global_ba,
+                                   process_remaining_images)
+        from .loop import LoopDetector
+        from .utils.checkpoint import load_map
+
+        det = (LoopDetector(voc_tree)
+               if (voc_tree is not None and opts.loop_detection) else None)
+        m = SequentialMapper(image_cameras, cam_models, cam_params,
+                             provider, loop_detector=det)
+        load_map(m, args.load_map)
+        start = opts.start_image_idx
+        end = (opts.end_image_idx if opts.end_image_idx >= 0
+               else len(records) - 1)
+        n = process_remaining_images(m, start, end, opts)
+        if not args.quiet and n:
+            print(f"Back-filled {n} frames after resume")
+        _global_ba(m, opts, rot_priors if opts.constrain_rotation else None)
+        result = PipelineResult(mappers=[m], records=records)
+    else:
+        result = run_pipeline(
+            image_cameras, cam_models, cam_params, provider, opts,
+            voc_tree=voc_tree, rot_priors=rot_priors,
+            control_points=control_points,
+        )
+
+    if args.save_map and result.mappers:
+        from .utils.checkpoint import save_map
+
+        save_map(result.main_mapper, args.save_map)
+        if not args.quiet:
+            print(f"Map checkpoint written to {args.save_map}")
 
     if not result.mappers:
         print("Mapping failed: no images registered", file=sys.stderr)

@@ -120,7 +120,13 @@ class NativeMapStore(MapStore):
 
 
 def create_map_store(backend="auto", max_cam_params=9):
-    """Factory: 'python', 'native', or 'auto' (native if buildable)."""
+    """Factory: 'python', 'native', or 'auto' (native if buildable).
+
+    MAVMAP_STORE_BACKEND overrides 'auto' (debug/triage switch)."""
+    import os
+
+    if backend == "auto":
+        backend = os.environ.get("MAVMAP_STORE_BACKEND", "auto")
     if backend == "python":
         return MapStore(max_cam_params)
     if backend in ("native", "auto"):

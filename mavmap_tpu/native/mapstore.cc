@@ -87,9 +87,13 @@ int64_t ms_capacity_points3D(void* h) {
   return static_cast<int64_t>(static_cast<MapStoreCore*>(h)->tracks.size());
 }
 
-// Core op — returns the surviving point3D id.
+// Core op — returns the surviving point3D id, or -1 for out-of-range
+// point2D ids (a ctypes caller bug must surface as a visible error, not
+// as a silent heap write through p2d_point3D[-1]).
 int64_t ms_add_correspondence(void* h, int64_t a, int64_t b) {
   auto* m = static_cast<MapStoreCore*>(h);
+  const int64_t n2d = static_cast<int64_t>(m->p2d_point3D.size());
+  if (a < 0 || b < 0 || a >= n2d || b >= n2d) return -1;
   int64_t ta = m->p2d_point3D[a];
   int64_t tb = m->p2d_point3D[b];
 
@@ -127,16 +131,30 @@ int64_t ms_add_correspondence(void* h, int64_t a, int64_t b) {
   return keep;
 }
 
+// All pid/p2d-indexed entry points bounds-check: ctypes callers feeding a
+// stale or negative id must get a no-op / sentinel, never an out-of-range
+// heap access (an OOB WRITE here corrupts allocator state and surfaces as
+// a segfault far away — e.g. inside a later XLA compile).
+static bool pid_ok(MapStoreCore* m, int64_t pid) {
+  return pid >= 0 && pid < static_cast<int64_t>(m->tracks.size());
+}
+
 void ms_set_tri(void* h, int64_t pid, uint8_t tri) {
-  static_cast<MapStoreCore*>(h)->p3d_tri[pid] = tri;
+  auto* m = static_cast<MapStoreCore*>(h);
+  if (!pid_ok(m, pid)) return;
+  m->p3d_tri[pid] = tri;
 }
 
 uint8_t ms_get_tri(void* h, int64_t pid) {
-  return static_cast<MapStoreCore*>(h)->p3d_tri[pid];
+  auto* m = static_cast<MapStoreCore*>(h);
+  if (!pid_ok(m, pid)) return 0;
+  return m->p3d_tri[pid];
 }
 
 uint8_t ms_get_valid(void* h, int64_t pid) {
-  return static_cast<MapStoreCore*>(h)->p3d_valid[pid];
+  auto* m = static_cast<MapStoreCore*>(h);
+  if (!pid_ok(m, pid)) return 0;
+  return m->p3d_valid[pid];
 }
 
 int32_t ms_track_len(void* h, int64_t pid) {
@@ -146,11 +164,15 @@ int32_t ms_track_len(void* h, int64_t pid) {
 }
 
 int64_t ms_point3D_of(void* h, int64_t p2d) {
-  return static_cast<MapStoreCore*>(h)->p2d_point3D[p2d];
+  auto* m = static_cast<MapStoreCore*>(h);
+  if (p2d < 0 || p2d >= static_cast<int64_t>(m->p2d_point3D.size()))
+    return -1;
+  return m->p2d_point3D[p2d];
 }
 
 void ms_delete_point3D(void* h, int64_t pid) {
   auto* m = static_cast<MapStoreCore*>(h);
+  if (!pid_ok(m, pid)) return;
   for (int64_t p2d : m->tracks[pid].obs) m->p2d_point3D[p2d] = -1;
   m->tracks[pid] = Track();
   m->p3d_valid[pid] = 0;
@@ -161,6 +183,7 @@ void ms_delete_point3D(void* h, int64_t pid) {
 // Copy the track's point2D ids into out (caller sizes via ms_track_len).
 void ms_get_track(void* h, int64_t pid, int64_t* out) {
   auto* m = static_cast<MapStoreCore*>(h);
+  if (!pid_ok(m, pid)) return;
   const auto& obs = m->tracks[pid].obs;
   std::memcpy(out, obs.data(), obs.size() * sizeof(int64_t));
 }

@@ -114,9 +114,9 @@ def match_features(
     """Backend dispatch for brute-force matching.
 
     backend: 'xla' (fused by the XLA compiler, any shape) or 'pallas'
-    (hand-fused single-pass kernel, ops/pallas/match.py; requires N1 a
-    multiple of 128 and N2 a multiple of 128). Semantics are identical;
-    tests assert equality.
+    (hand-fused single-pass kernel, ops/pallas/match.py; ragged shapes
+    are tile-padded inside the wrapper, so any N1/N2 works). Semantics
+    are identical; tests assert equality.
     """
     if backend == "pallas":
         from .pallas.match import match_brute_force_pallas

@@ -117,7 +117,8 @@ def partition_problem(
     return stacked, new_index, per_shard
 
 
-def _local_normal_terms(prob: BAProblem, poses, points_d, lam, scale, axis):
+def _local_normal_terms(prob: BAProblem, poses, points_d, lam, scale, axis,
+                        backend="xla"):
     """Shard-local contributions + psum-reduced camera system pieces
     (dense path: the Schur off-diagonal from per-(point, image)
     aggregation; points are shard-disjoint so each point's whole track —
@@ -126,7 +127,7 @@ def _local_normal_terms(prob: BAProblem, poses, points_d, lam, scale, axis):
 
     I = poses.shape[0]
     U, Vinv, bp, G, T, g_red = _assemble_blocks(
-        prob, poses, points_d, lam, scale, psum_axis=axis
+        prob, poses, points_d, lam, scale, psum_axis=axis, backend=backend
     )
 
     # G/T are flat (O, 18) row-major 6x3 blocks (ba/colmath.py convention).
@@ -155,7 +156,8 @@ def _dist_cost(prob: BAProblem, poses, points_d, scale, axis):
 
 
 def _dist_lm_loop(prob: BAProblem, scale, lambda_init, max_iters, axis,
-                  solver="dense", cg_max_iters=100, cg_tol=1e-3):
+                  solver="dense", cg_max_iters=100, cg_tol=1e-3,
+                  backend="xla"):
     I = prob.poses.shape[0]
 
     def lm_step(poses, points, lam):
@@ -163,16 +165,17 @@ def _dist_lm_loop(prob: BAProblem, scale, lambda_init, max_iters, axis,
             # Matrix-free Schur CG: no pair list, one (I,6)+(I,6,6) psum
             # per matvec — the path that scales past ~1k cameras.
             return _lm_step_cg(prob, poses, points, lam, scale,
-                               cg_max_iters, cg_tol, psum_axis=axis)
+                               cg_max_iters, cg_tol, psum_axis=axis,
+                               backend=backend)
         S, g_red, G, Vinv, bp = _local_normal_terms(
-            prob, poses, points, lam, scale, axis
+            prob, poses, points, lam, scale, axis, backend=backend
         )
         free = prob.pose_free.reshape(I * 6)
         Sd = S.transpose(0, 2, 1, 3).reshape(I * 6, I * 6)
         Sd = Sd * free[:, None] * free[None, :] + jnp.diag(1.0 - free)
         gd = g_red.reshape(I * 6) * free
         dc = -jnp.linalg.solve(Sd, gd).reshape(I, 6) * prob.pose_free
-        dp = _backsub_points(prob, Vinv, bp, G, dc)
+        dp = _backsub_points(prob, Vinv, bp, G, dc, backend=backend)
         return dc, dp
 
     def cond(state):
@@ -207,7 +210,7 @@ def _dist_lm_loop(prob: BAProblem, scale, lambda_init, max_iters, axis,
 def dist_bundle_adjust(mesh, stacked_prob: BAProblem, scale=1.0,
                        lambda_init=1e-4, max_iters=20, axis="obs",
                        solver="auto", cg_max_iters=100, cg_tol=1e-3,
-                       per_shard=None):
+                       per_shard=None, backend="auto"):
     """Run the distributed LM loop over `mesh` (1-D, axis name `axis`).
 
     stacked_prob: BAProblem from `partition_problem` — obs/pair arrays have
@@ -229,15 +232,22 @@ def dist_bundle_adjust(mesh, stacked_prob: BAProblem, scale=1.0,
         ncams = stacked_prob.poses.shape[-2]
         solver = "cg" if ncams >= DENSE_SOLVER_MAX_CAMERAS else "dense"
 
+    if backend == "auto":
+        # Pallas segment-reduction kernels when the MESH devices are TPU
+        # (the mesh platform, not the default backend, decides where the
+        # shard_map executables run).
+        backend = ("pallas"
+                   if mesh.devices.flatten()[0].platform == "tpu"
+                   else "xla")
     fn = _dist_ba_fn(mesh, axis, solver, float(scale), float(lambda_init),
                      int(max_iters), int(cg_max_iters), float(cg_tol),
-                     int(per_shard))
+                     int(per_shard), backend)
     return fn(stacked_prob)
 
 
 @lru_cache(maxsize=32)
 def _dist_ba_fn(mesh, axis, solver, scale, lambda_init, max_iters,
-                cg_max_iters, cg_tol, per_shard):
+                cg_max_iters, cg_tol, per_shard, backend="xla"):
     """Cached jit(shard_map) wrapper: jit handles shape polymorphism; this
     cache keeps one traced wrapper per (mesh, solver config) so repeated
     pipeline global BAs don't re-trace the whole LM loop."""
@@ -248,6 +258,7 @@ def _dist_ba_fn(mesh, axis, solver, scale, lambda_init, max_iters,
         poses, points, cost, init_cost, it = _dist_lm_loop(
             prob_local, jnp.float32(scale), lambda_init, max_iters, axis,
             solver=solver, cg_max_iters=cg_max_iters, cg_tol=cg_tol,
+            backend=backend,
         )
         # Points: each shard owns rows [rank*per, (rank+1)*per). Zero the
         # others and psum -> full array (then output replicated).

@@ -36,10 +36,13 @@ def _pairs_fn(mesh, p3p_trials, matcher):
             p3p_trials=p3p_trials, matcher=matcher,
         )
 
+    # check_vma off: the register kernels carry replicated scalars through
+    # internal while_loops (RANSAC, LM refinement), which trips the
+    # varying-manual-axes typing; every lane computes independently here.
     return jax.jit(jax.shard_map(
         fn, mesh=mesh,
         in_specs=(P(ax),) * 16 + (P(), P(), P(ax)),
-        out_specs=(P(ax), P(ax)),
+        out_specs=(P(ax), P(ax)), check_vma=False,
     ))
 
 
@@ -73,7 +76,7 @@ def _batch_fn(mesh, p3p_trials, matcher):
     return jax.jit(jax.shard_map(
         fn, mesh=mesh,
         in_specs=(P(ax),) * 5 + (P(),) * 4 + (P(ax),) * 5 + (P(),) * 5,
-        out_specs=(P(ax), P(ax)),
+        out_specs=(P(ax), P(ax)), check_vma=False,
     ))
 
 
@@ -105,6 +108,7 @@ def _counts_fn(mesh):
     return jax.jit(jax.shard_map(
         fn, mesh=mesh,
         in_specs=(P(), P(), P(ax), P(ax), P()), out_specs=P(ax),
+        check_vma=False,
     ))
 
 

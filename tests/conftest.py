@@ -20,10 +20,42 @@ try:
     jax.config.update("jax_platforms", "cpu")
 except Exception:
     pass
+# MACHINE-LOCAL compile cache for tests: the environment's default
+# sidechannel cache is shared ACROSS MACHINES, and loading a CPU AOT
+# executable compiled on a host with different machine features
+# (+prefer-no-scatter etc.) has segfaulted the suite. A local dir keeps
+# the warm-suite speed with only this machine's executables.
+try:
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     ".jax_cache_tests"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+except Exception:
+    pass
 jax.config.update("jax_default_device", jax.devices("cpu")[0])
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True)
+def _mmap_guard():
+    """Keep the process under vm.max_map_count (65530 default).
+
+    Compiled XLA:CPU executables accumulate memory mappings; a full-suite
+    run crosses the kernel limit around test ~135, the next mmap fails,
+    and XLA segfaults (measured: maps grow ~15k -> 65k, SIGSEGV exactly
+    at the limit). Dropping the jit caches unmaps retired executables;
+    the persistent compile cache makes the re-compiles cheap."""
+    yield
+    try:
+        with open("/proc/self/maps") as f:
+            n = sum(1 for _ in f)
+    except OSError:
+        return
+    if n > 40000:
+        jax.clear_caches()
 
 
 @pytest.fixture
