@@ -103,39 +103,73 @@ def detect_and_describe(
         (grid_size, grid_size) if isinstance(grid_size, int) else grid_size
     )
 
-    sigmas = []
+    # Octave-DOWNSAMPLED pyramid: octave o runs at H/2^o x W/2^o with the
+    # small base sigmas (1.6..2.5 -> kernels <= ~17 taps), and
+    # det * sigma_rel^4 at octave resolution IS the scale-normalized
+    # full-resolution response (second derivatives pick up (2^o)^2 each
+    # from the coordinate change, so det gains 16^o — exactly the missing
+    # (2^o)^4 of the effective sigma's normalization). A full-resolution
+    # pyramid needs 123-tap kernels at the top octave, which both wastes
+    # compute and drives the TPU conv compiler into the weeds.
+    base_sigmas = [1.6 * (2.0 ** (l / num_octave_layers))
+                   for l in range(num_octave_layers)]
+    sigmas = []          # effective full-res sigma per scale index
+    scale_factor = []    # 2^o per scale index
+    resp_full = []       # sparse full-res suppressed score maps, one/scale
+    dense_full = []      # dense upsampled response maps (sub-pixel fit)
+    img_o = img
     for o in range(num_octaves):
+        f = 2**o
+        Ho, Wo = img_o.shape
+        layers = [
+            _hessian_response(img_o, s) * 1.0 for s in base_sigmas
+        ]  # _hessian_response already applies the sigma^4 normalization
+        st = jnp.stack(layers)  # (L, Ho, Wo)
+        # 3x3x3 non-max suppression WITHIN the octave (like OpenCV SURF).
+        is_max = jnp.ones_like(st, dtype=bool)
+        for ds in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                for dx in (-1, 0, 1):
+                    if ds == 0 and dy == 0 and dx == 0:
+                        continue
+                    is_max = is_max & (
+                        st >= jnp.roll(st, (ds, dy, dx), axis=(0, 1, 2)))
+        # Border suppression at octave resolution (8 full-res px minimum).
+        b = max(8 // f, 2)
+        yy = jnp.arange(Ho)
+        xx = jnp.arange(Wo)
+        bm = ((yy[:, None] >= b) & (yy[:, None] < Ho - b)
+              & (xx[None, :] >= b) & (xx[None, :] < Wo - b))
+        dense = st
+        st = jnp.where(is_max & bm[None], st, -jnp.inf)
+        # Scatter the surviving maxima onto the full-res grid (strided
+        # placement; everything else -inf) — each maximum lands on exactly
+        # ONE full-res pixel, so the shared per-cell top-k sees no
+        # upsampling plateaus. The DENSE maps ride along nearest-upsampled
+        # for the sub-pixel quadratic fit (suppressed maps have -inf
+        # neighbors by construction).
         for l in range(num_octave_layers):
-            sigmas.append(1.6 * (2.0**o) * (2.0 ** (l / num_octave_layers)))
-    responses = jnp.stack([_hessian_response(img, s) for s in sigmas])  # (S, H, W)
+            up = jnp.full((H, W), -jnp.inf, jnp.float32)
+            up = up.at[: Ho * f : f, : Wo * f : f].set(st[l])
+            resp_full.append(up)
+            d = jnp.repeat(jnp.repeat(dense[l], f, axis=0), f, axis=1)
+            d = d[:H, :W]
+            d = jnp.pad(d, ((0, H - d.shape[0]), (0, W - d.shape[1])))
+            dense_full.append(d)
+            sigmas.append(base_sigmas[l] * f)
+            scale_factor.append(f)
+        if o + 1 < num_octaves:
+            he, we = (Ho // 2) * 2, (Wo // 2) * 2
+            a = img_o[:he, :we]
+            img_o = 0.25 * (a[::2, ::2] + a[1::2, ::2]
+                            + a[::2, 1::2] + a[1::2, 1::2])
 
-    # 3x3x3 non-max suppression.
-    def shift(x, dy, dx, ds):
-        return jnp.roll(x, (ds, dy, dx), axis=(0, 1, 2))
-
-    is_max = jnp.ones_like(responses, dtype=bool)
-    for ds in (-1, 0, 1):
-        for dy in (-1, 0, 1):
-            for dx in (-1, 0, 1):
-                if ds == 0 and dy == 0 and dx == 0:
-                    continue
-                is_max = is_max & (responses >= shift(responses, dy, dx, ds))
-    # Normalized threshold comparable to SURF's hessianThreshold scalingwise.
+    responses = jnp.stack(resp_full)  # (S, H, W) sparse suppressed scores
+    responses_dense = jnp.stack(dense_full)
     thr = hessian_threshold * 1e-6
-    is_max = is_max & (responses > thr)
-    # Suppress borders.
-    border = 8
-    yy = jnp.arange(H)
-    xx = jnp.arange(W)
-    border_mask = (
-        (yy[:, None] >= border) & (yy[:, None] < H - border)
-        & (xx[None, :] >= border) & (xx[None, :] < W - border)
-    )
-    is_max = is_max & border_mask[None]
-
-    score = jnp.where(is_max, responses, -jnp.inf)  # (S, H, W)
-    score_flat = jnp.max(score, axis=0)  # best scale per pixel
-    best_scale = jnp.argmax(score, axis=0)
+    responses = jnp.where(responses > thr, responses, -jnp.inf)
+    score_flat = jnp.max(responses, axis=0)  # best scale per pixel
+    best_scale = jnp.argmax(responses, axis=0)
 
     # Per-cell top-k.
     per_cell = max_features // (grid_rows * grid_cols)
@@ -164,22 +198,35 @@ def detect_and_describe(
 
     sigmas_arr = jnp.asarray(sigmas, jnp.float32)
     kp_sigma = sigmas_arr[scale_idx]
+    fac_arr = jnp.asarray(scale_factor, jnp.float32)
+    kp_fac = fac_arr[scale_idx]
 
-    # Sub-pixel localization: 1-D quadratic fits on the response map of the
-    # chosen scale (clamped to +-0.5 px; degenerate curvature -> 0 offset).
+    # Coarse-octave centering: a maximum at octave pixel (x_o, y_o) sits at
+    # full-res (x_o + 0.5) * f - 0.5 = grid position + (f - 1) / 2.
+    keypoints = keypoints + ((kp_fac - 1.0) * 0.5)[:, None]
+
+    # Sub-pixel localization: 1-D quadratic fits on the sparse response map
+    # at the OCTAVE grid stride (neighbors on the same scale sit f apart;
+    # non-maxima are -inf, so the fit only engages where both neighbors
+    # survived suppression — offsets clamp to +-0.5 octave px).
+    fi = kp_fac.astype(jnp.int32)
     ky = jnp.clip(keypoints[:, 1].astype(jnp.int32), 1, H - 2)
     kx = jnp.clip(keypoints[:, 0].astype(jnp.int32), 1, W - 2)
-    r0 = responses[scale_idx, ky, kx]
-    rxm = responses[scale_idx, ky, kx - 1]
-    rxp = responses[scale_idx, ky, kx + 1]
-    rym = responses[scale_idx, ky - 1, kx]
-    ryp = responses[scale_idx, ky + 1, kx]
+    ky0 = (ky // jnp.maximum(fi, 1)) * jnp.maximum(fi, 1)
+    kx0 = (kx // jnp.maximum(fi, 1)) * jnp.maximum(fi, 1)
+    r0 = responses_dense[scale_idx, ky0, kx0]
+    rxm = responses_dense[scale_idx, ky0, jnp.clip(kx0 - fi, 0, W - 1)]
+    rxp = responses_dense[scale_idx, ky0, jnp.clip(kx0 + fi, 0, W - 1)]
+    rym = responses_dense[scale_idx, jnp.clip(ky0 - fi, 0, H - 1), kx0]
+    ryp = responses_dense[scale_idx, jnp.clip(ky0 + fi, 0, H - 1), kx0]
     dxx = rxm - 2.0 * r0 + rxp
     dyy = rym - 2.0 * r0 + ryp
-    offx = jnp.where(jnp.abs(dxx) > 1e-12, 0.5 * (rxm - rxp) / dxx, 0.0)
-    offy = jnp.where(jnp.abs(dyy) > 1e-12, 0.5 * (rym - ryp) / dyy, 0.0)
-    offx = jnp.clip(offx, -0.5, 0.5)
-    offy = jnp.clip(offy, -0.5, 0.5)
+    okx = jnp.isfinite(rxm) & jnp.isfinite(rxp) & (jnp.abs(dxx) > 1e-12)
+    oky = jnp.isfinite(rym) & jnp.isfinite(ryp) & (jnp.abs(dyy) > 1e-12)
+    offx = jnp.where(okx, 0.5 * (rxm - rxp) / dxx, 0.0)
+    offy = jnp.where(oky, 0.5 * (rym - ryp) / dyy, 0.0)
+    offx = jnp.clip(offx, -0.5, 0.5) * kp_fac
+    offy = jnp.clip(offy, -0.5, 0.5) * kp_fac
     keypoints = keypoints + jnp.stack([offx, offy], axis=-1)
 
     desc = _describe(img, keypoints, kp_sigma, upright=upright)
