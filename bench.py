@@ -172,13 +172,49 @@ def main():
                 ba_time += time.time() - t0
                 ba_iters += int(info["iterations"]) if info else 0
 
-        CHAIN = 6
+        CHAIN = int(os.environ.get("MAVMAP_BENCH_CHAIN", "6"))
+        PIPE = os.environ.get("MAVMAP_BENCH_PIPELINE", "1") == "1"
         i = 2
-        while i < n_images:
+        tok = tok_chain = None
+        while i < n_images or tok is not None:
+            if tok is not None:
+                # Speculative pipelining: dispatch the NEXT chain anchored
+                # on the in-flight chain's device-resident end state
+                # BEFORE pulling it — the pull round-trip + host commit
+                # overlap the next chain's device work.
+                nstart = tok_chain[-1] + 1
+                nxt = list(range(nstart, min(nstart + CHAIN, n_images)))
+                tok_nxt = None
+                if len(tok_chain) == CHAIN and len(nxt) >= 2:
+                    tok_nxt = m.chain_dispatch_cont(nxt, tok, opts,
+                                                    pad_to=CHAIN)
+                oks = m.chain_complete(tok)
+                committed = sum(oks)
+                if committed:
+                    last = tok_chain[committed - 1]
+                    # One window solve per chain (stashed; enters the
+                    # stream at the next dispatch).
+                    local_ba()
+                if committed == len(tok_chain) and tok_nxt is not None:
+                    tok, tok_chain = tok_nxt, nxt
+                    i = nxt[-1] + 1
+                else:
+                    # Mid-chain failure (speculation invalid) or end of
+                    # sequence: drop any speculative dispatch and fall
+                    # back to the non-pipelined path from the frontier.
+                    if tok_nxt is not None:
+                        m.chain_abandon(tok_nxt)
+                    i = (last + 1) if committed else tok_chain[0]
+                    tok = tok_chain = None
+                continue
             # Chained frames: one pull round-trip per CHAIN frames.
             chain = [j for j in range(i, min(i + CHAIN, n_images))
                      if not m.is_image_processed(j)]
             if len(chain) >= 2 and chain == list(range(chain[0], chain[-1] + 1)):
+                if PIPE and len(chain) == CHAIN:
+                    tok = m.chain_dispatch(chain, last, opts, pad_to=CHAIN)
+                    tok_chain = chain
+                    continue
                 oks = m.process_chain_k(chain, last, opts, pad_to=CHAIN)
                 committed = sum(oks)
                 if committed:

@@ -387,7 +387,7 @@ def _derive_chain_state(rows, scalars, prev_xyz, prev_has_tri, prev_len,
 def _register_chain_impl(base_key, kp_p, d_p, m_p, n_p, feats_k,
                          track_state, scal, ba_poses, ba_points,
                          use_fresh, p3p_trials, hom_trials, refine_iters,
-                         matcher):
+                         matcher, cont_state=None, cont_pose=None):
     """K consecutive frame registrations in ONE device program: frame k
     anchors on track state DERIVED ON DEVICE from frame k-1's results
     (`_derive_chain_state`), so the sequential loop pulls once per K
@@ -439,10 +439,20 @@ def _register_chain_impl(base_key, kp_p, d_p, m_p, n_p, feats_k,
     cam_models = per[:, 2].astype(jnp.int32)
     cam_params = per[:, 3:12]
 
-    xyz = track_state[:, :3]
-    has_tri = track_state[:, 3] > 0.5
-    stable = track_state[:, 4] > 0.5
-    lens = track_state[:, 5].astype(jnp.int32)
+    if cont_state is not None:
+        # Continuation chain: anchor state comes from the PREVIOUS chain's
+        # device-resident end_state/end_pose (speculative pipelining) —
+        # track_state/scal[0:6] are ignored.
+        xyz = cont_state[:, :3]
+        has_tri = cont_state[:, 3] > 0.5
+        stable = cont_state[:, 4] > 0.5
+        lens = cont_state[:, 5].astype(jnp.int32)
+        prev_rvec, prev_tvec = cont_pose[:3], cont_pose[3:]
+    else:
+        xyz = track_state[:, :3]
+        has_tri = track_state[:, 3] > 0.5
+        stable = track_state[:, 4] > 0.5
+        lens = track_state[:, 5].astype(jnp.int32)
     if use_fresh:
         anchor_row = scal[11].astype(jnp.int32)
         xyz_rows = track_state[:, 6].astype(jnp.int32)
@@ -478,11 +488,21 @@ def _register_chain_impl(base_key, kp_p, d_p, m_p, n_p, feats_k,
 
     carry0 = (kp_p, d_p, m_p, n_p, xyz, has_tri, stable, lens,
               prev_rvec, prev_tvec)
-    _, (rows_all, scalars_all, has_tri_in) = jax.lax.scan(
+    carry_end, (rows_all, scalars_all, has_tri_in) = jax.lax.scan(
         step, carry0,
         (keys, kps, ds, ms, ns, cam_params, cam_models, nts, tri_nts),
     )
-    return rows_all, scalars_all, has_tri_in
+    # End-state for SPECULATIVE chain pipelining: the final frame's derived
+    # track state + pose, packed so the NEXT chain can anchor on these
+    # DEVICE buffers before this chain's results ever reach the host
+    # (mapper.chain_dispatch_cont).
+    (_, _, _, _, exyz, eht, est, elens, erv, etv) = carry_end
+    end_state = jnp.concatenate(
+        [exyz, eht[:, None].astype(jnp.float32),
+         est[:, None].astype(jnp.float32),
+         elens[:, None].astype(jnp.float32)], axis=1)  # (F, 6)
+    end_pose = jnp.concatenate([erv, etv])  # (6,)
+    return rows_all, scalars_all, has_tri_in, end_state, end_pose
 
 
 @partial(jax.jit, static_argnames=("p3p_trials", "hom_trials",
@@ -510,6 +530,25 @@ def register_chain(base_key, kp_p, d_p, m_p, n_p, feats_k,
     return _register_chain_impl(
         base_key, kp_p, d_p, m_p, n_p, feats_k, track_state, scal,
         None, None, False, p3p_trials, hom_trials, refine_iters, matcher)
+
+
+@partial(jax.jit, static_argnames=("p3p_trials", "hom_trials",
+                                   "refine_iters", "matcher"))
+def register_chain_cont(base_key, kp_a, d_a, m_a, n_a, feats_k,
+                        cont_state, cont_pose, scal,
+                        p3p_trials: int = 512, hom_trials: int = 128,
+                        refine_iters: int = 30, matcher: str = "xla"):
+    """Chain registration anchored on the PREVIOUS chain's device-resident
+    end state (speculative pipelining): cont_state (F, 6) and cont_pose
+    (6,) are the end_state/end_pose outputs of the in-flight chain, and
+    kp_a/d_a/m_a/n_a are that chain's LAST frame's features. The host
+    dispatches this WITHOUT waiting for the previous chain's pull — the
+    tunnel round-trip and host commit overlap this chain's device work.
+    scal[0:6] (anchor pose) is ignored."""
+    return _register_chain_impl(
+        base_key, kp_a, d_a, m_a, n_a, feats_k, None, scal,
+        None, None, False, p3p_trials, hom_trials, refine_iters, matcher,
+        cont_state=cont_state, cont_pose=cont_pose)
 
 
 @partial(jax.jit, static_argnames=("p3p_trials", "matcher"))

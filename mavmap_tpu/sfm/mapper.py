@@ -631,13 +631,106 @@ class SequentialMapper:
         return (out, idxs, n_real, prev_image_idx, prev_p2d, has_tri,
                 tri_nts, options)
 
+    def chain_dispatch_cont(self, idxs, prev_token,
+                            options: SequentialMapperOptions = None,
+                            pad_to=None):
+        """SPECULATIVE chain dispatch: anchor on the IN-FLIGHT previous
+        chain's device-resident end state (kernels.register_chain_cont)
+        WITHOUT waiting for its pull — the previous chain's tunnel
+        round-trip and host commit overlap this chain's device work,
+        hiding the per-chain RTT floor entirely on the happy path.
+
+        The speculation assumes the previous chain commits ALL its frames
+        (the common case); if it doesn't, this chain anchored on a pose
+        that never committed — the caller must `chain_abandon` the token
+        and fall back to a host-anchored dispatch from the committed
+        frontier. Any deferred window-BA problems stashed since the last
+        dispatch enter the stream ahead of this kernel, so solves keep
+        flowing every chain (they refine the STORE; cont anchors
+        themselves ride the device-derived state)."""
+        from .kernels import register_chain_cont
+
+        options = options or SequentialMapperOptions()
+        (p_out, p_idxs, p_n_real, *_rest) = prev_token
+        if p_n_real != len(p_idxs):
+            # A padded previous chain re-registers its last frame against
+            # itself for the padding steps, so its end_state no longer
+            # describes the last REAL frame.
+            raise ValueError("cont chains require a full (unpadded) "
+                             "previous chain")
+        anchor_idx = p_idxs[p_n_real - 1]
+        for i in idxs:
+            if self.is_image_processed(i):
+                raise ValueError("chain frames must be unprocessed")
+
+        n_real = len(idxs)
+        K = max(pad_to or n_real, n_real)
+        idxs = list(idxs) + [idxs[-1]] * (K - n_real)
+        kp_a, d_a, m_a, n_a = self._device_features(anchor_idx)
+        feats = tuple(self._device_features(i) for i in idxs)
+        cis = [self.image_cameras[i] for i in idxs]
+
+        handles = self._dispatch_deferred_ba()
+        self._pending_ba = ((getattr(self, "_pending_ba", None) or [])
+                            + handles)
+
+        tri_nts = [self._norm_threshold(options.tri_max_reproj_error, i)
+                   for i in idxs]
+        scal = np.zeros(12 + 12 * K, np.float32)
+        scal[6] = options.match_max_ratio
+        scal[7] = (options.match_max_distance
+                   if options.match_max_distance > 0 else 1e9)
+        scal[8] = options.tri_min_angle * np.pi / 180.0
+        scal[9] = options.min_track_len
+        self._chain_counter = getattr(self, "_chain_counter", 0) + 1
+        scal[10] = self._chain_counter
+        scal[11] = -1.0
+        per = scal[12:].reshape(K, 12)
+        per[:, 0] = [self._norm_threshold(options.ransac_max_reproj_error, i)
+                     for i in idxs]
+        per[:, 1] = tri_nts
+        per[:, 2] = self.cam_models[cis]
+        per[:, 3:12] = self.cam_params[cis]
+
+        if not hasattr(self, "_base_key"):
+            self._base_key = self._next_key()
+        end_state, end_pose = p_out[3], p_out[4]
+        out = register_chain_cont(
+            self._base_key, kp_a, d_a, m_a, n_a, feats,
+            end_state, end_pose, scal,
+            p3p_trials=options.p3p_ransac_trials,
+            matcher=self._matcher_backend(options))
+        self._copy_async(out)
+        # prev_p2d/has_tri are None: resolved at complete time from the
+        # store (the anchor has committed by then) + the pulled
+        # has_tri_in[0] (the state the device actually anchored on).
+        return (out, idxs, n_real, anchor_idx, None, None, tri_nts,
+                options)
+
+    def chain_abandon(self, token):
+        """Discard a speculative chain whose anchor never committed: pull
+        its buffers (applying any pending BA results that were batched
+        into the same stream) and drop the registration outputs."""
+        self._pull_with_pending(token[0][:3])
+
     def chain_complete(self, token, debug=False):
         """Complete HALF of process_chain_k: pull the dispatched chain's
         results (with any pending BA), run the host gates, and commit each
         frame. Returns the per-frame oks list (see process_chain_k)."""
         (out, idxs, n_real, prev_image_idx, prev_p2d, has_tri, tri_nts,
          options) = token
-        rows_all, scalars_all, has_tri_in = self._pull_with_pending(out)
+        rows_all, scalars_all, has_tri_in = self._pull_with_pending(
+            out[:3])
+        if prev_p2d is None:
+            # Continuation chain: the anchor must have committed by now
+            # (the caller abandons the token otherwise).
+            if not self.is_image_processed(prev_image_idx):
+                raise ValueError(
+                    "cont chain completed before its anchor committed — "
+                    "use chain_abandon when the previous chain fails")
+            prev_p2d = self.store.point2D_ids_of_image(
+                self.image_idx_to_id[prev_image_idx])
+            has_tri = has_tri_in[0] > 0.5
 
         oks = []
         anchor_idx = prev_image_idx

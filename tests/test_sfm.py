@@ -292,3 +292,68 @@ def test_imu_frame_pre_alignment(rng):
     ate, nreg = _ate(m, scene)
     assert nreg == 5
     assert ate < 0.03, ate
+
+
+def test_speculative_chain_pipelining(rng):
+    """chain_dispatch_cont anchors the NEXT chain on the in-flight
+    previous chain's device-resident end state (register_chain_cont):
+    both chains commit and the trajectory matches the non-pipelined
+    chained run."""
+    scene = make_uav_scene(num_images=14, num_points=2600, relief=10.0,
+                           rows=1, seed=25)
+    feats, _ = render_features(scene, pixel_noise=0.3, clutter=24, seed=25)
+    cap = int(np.ceil(max(len(k) for k, _ in feats) / 256)) * 256
+    opts = SequentialMapperOptions(
+        tri_min_angle=1.0, essential_ransac_trials=256, p3p_ransac_trials=256)
+    init_opts = SequentialMapperOptions(
+        tri_min_angle=2.0, essential_ransac_trials=256, p3p_ransac_trials=256)
+    ba_opts = BAOptions(max_num_iterations=6)
+
+    def run(pipelined):
+        prov = ArrayFeatureProvider(feats, capacity=cap)
+        m = SequentialMapper(scene.image_cameras, scene.cam_models,
+                             scene.cam_params, prov)
+        assert m.process_initial(0, 1, init_opts)
+
+        def local_ba():
+            reg = sorted(m.image_idx_to_id.keys())
+            w = reg[-8:]
+            if len(w) > 2:
+                m.adjust_bundle(w[2:], w[:2], ba_options=ba_opts,
+                                async_=True, defer=True)
+
+        CH = 4
+        if not pipelined:
+            last, i = 1, 2
+            while i < 14:
+                chain = list(range(i, min(i + CH, 14)))
+                oks = m.process_chain_k(chain, last, opts, pad_to=CH)
+                assert all(oks), oks
+                last = chain[-1]
+                local_ba()
+                i = last + 1
+        else:
+            tok = m.chain_dispatch([2, 3, 4, 5], 1, opts, pad_to=CH)
+            tok_chain = [2, 3, 4, 5]
+            while tok is not None:
+                nstart = tok_chain[-1] + 1
+                nxt = list(range(nstart, min(nstart + CH, 14)))
+                tok_nxt = None
+                if len(nxt) >= 2 and len(tok_chain) == CH:
+                    tok_nxt = m.chain_dispatch_cont(nxt, tok, opts,
+                                                    pad_to=CH)
+                oks = m.chain_complete(tok)
+                assert all(oks), (tok_chain, oks)
+                local_ba()
+                tok, tok_chain = tok_nxt, nxt
+        m.flush_ba()
+        m.adjust_global_bundle(BAOptions(max_num_iterations=30))
+        return m
+
+    m_seq = run(False)
+    m_pipe = run(True)
+    a_seq, n_seq = _ate(m_seq, scene)
+    a_pipe, n_pipe = _ate(m_pipe, scene)
+    assert n_seq == n_pipe == 14
+    assert a_seq < 0.02, a_seq
+    assert a_pipe < 0.03, a_pipe  # one extra chain of anchor staleness
