@@ -76,6 +76,15 @@ class PipelineOptions:
     # frame (deferred onto the device stream behind the next chain).
     chain_frames: bool = True
     chain_len: int = 4
+    # Speculative chain pipelining: dispatch chain k+1 anchored on chain
+    # k's device-resident end state BEFORE pulling chain k, so the pull
+    # round-trip + host commit overlap the next chain's device work
+    # (mapper.chain_dispatch_cont). A mid-chain failure abandons the
+    # speculation and falls back to a host-anchored dispatch. Disabled
+    # automatically under constrain_rotation (the IMU pre-alignment
+    # rotates the model frame between chains, which would orphan a chain
+    # anchored on pre-rotation device state).
+    pipeline_chains: bool = True
     # Segment-parallel mapping (beyond the reference, which is strictly
     # one-frame-at-a-time): partition [start, end] into `parallel_segments`
     # contiguous segments, map each with its own SequentialMapper, and
@@ -808,17 +817,14 @@ def run_pipeline(
                     break
                 chain.append(j)
         if len(chain) >= 2:
-            oks = mapper.process_chain_k(chain, prev_idx, seq_opts,
-                                         debug=opts.debug,
-                                         pad_to=opts.chain_len)
-            committed = sum(oks)
-            if committed:
-                for j in chain[:committed]:
+            def after_chain_commit(committed_chain, n_committed):
+                nonlocal count_since_loop, prev_idx, num_skipped, idx
+                for j in committed_chain[:n_committed]:
                     if opts.verbose:
                         print(f"Processed image #{j} "
                               f"(points3D={mapper.store.num_points3D})")
-                count_since_loop += committed
-                prev_idx = chain[committed - 1]
+                count_since_loop += n_committed
+                prev_idx = committed_chain[n_committed - 1]
                 num_skipped = 0
                 idx = prev_idx + 1
                 # One window solve per chain (deferred onto the device
@@ -835,7 +841,62 @@ def run_pipeline(
                         nh_distance=opts.loop_detection_nh_dist,
                         options=seq_opts, verbose=opts.verbose)
                     count_since_loop = 0
-                continue
+
+            pipelined = (opts.pipeline_chains and not opts.debug
+                         and not opts.constrain_rotation
+                         and len(chain) == opts.chain_len)
+            if pipelined:
+                # Speculative pipelining (see PipelineOptions.pipeline_
+                # chains): keep one cont chain in flight.
+                tok = mapper.chain_dispatch(chain, prev_idx, seq_opts,
+                                            pad_to=opts.chain_len)
+                tok_chain = chain
+                committed = 0
+                while tok is not None:
+                    nstart = tok_chain[-1] + 1
+                    nxt = [j for j in range(nstart,
+                                            min(nstart + opts.chain_len,
+                                                end + 1))
+                           if not mapper.is_image_processed(j)]
+                    contiguous = nxt == list(range(nstart,
+                                                   nstart + len(nxt)))
+                    tok_nxt = None
+                    if (len(tok_chain) == opts.chain_len and len(nxt) >= 2
+                            and contiguous):
+                        # Maturity ramp follows the committed count (the
+                        # in-flight chain's frames count optimistically).
+                        spec_opts = _mapper_options(
+                            opts, num_proc=mapper.num_proc_images
+                            + len(tok_chain))
+                        tok_nxt = mapper.chain_dispatch_cont(
+                            nxt, tok, spec_opts, pad_to=opts.chain_len)
+                    oks = mapper.chain_complete(tok)
+                    committed = sum(oks)
+                    failed_at = tok_chain[committed] if committed < len(
+                        tok_chain) else None
+                    if committed:
+                        after_chain_commit(tok_chain, committed)
+                    if committed == len(tok_chain) and tok_nxt is not None:
+                        tok, tok_chain = tok_nxt, nxt
+                    else:
+                        if tok_nxt is not None:
+                            mapper.chain_abandon(tok_nxt)
+                        tok = None
+                if committed:
+                    continue
+                # The last in-flight chain failed outright: fall through
+                # to the sequential rescue path at ITS first frame (any
+                # earlier chains of this pipeline run already committed
+                # and advanced prev_idx).
+                idx = tok_chain[0]
+            else:
+                oks = mapper.process_chain_k(chain, prev_idx, seq_opts,
+                                             debug=opts.debug,
+                                             pad_to=opts.chain_len)
+                committed = sum(oks)
+                if committed:
+                    after_chain_commit(chain, committed)
+                    continue
             # The chain's first frame failed its gates: fall through to
             # the sequential path (rescue / skip / sub-map logic below).
         success = mapper.process(idx, prev_idx, seq_opts, debug=opts.debug)
