@@ -41,7 +41,9 @@ tree = train_voc_tree(desc[rng.permutation(len(desc))[:8000]], branching=8,
 print(f"scene+features in {time.time()-t0:.0f}s", flush=True)
 opts = PipelineOptions(verbose=False, tri_min_angle=1.0, init_tri_min_angle=4.0,
                        min_track_len=2, loop_detection_period=20,
-                       final_closure_sweeps=SWEEPS)
+                       final_closure_sweeps=SWEEPS,
+                       pipeline_chains=os.environ.get(
+                           "MAVMAP_PIPELINE_CHAINS", "1") == "1")
 t0 = time.time()
 res = run_pipeline(scene.image_cameras, scene.cam_models, scene.cam_params,
                    prov, opts, voc_tree=tree)

@@ -116,9 +116,11 @@ def build_parser():
                         "round-trip per frame instead of per pair)")
     p.add_argument("--chain-len", type=int, default=4,
                    help="frames registered per chained device program")
-    p.add_argument("--no-pipeline-chains", action="store_true",
-                   help="disable speculative chain pipelining (next chain "
-                        "dispatched on the in-flight chain's device state)")
+    p.add_argument("--pipeline-chains", action="store_true",
+                   help="speculative chain pipelining: dispatch the next "
+                        "chain on the in-flight chain's device state "
+                        "(headline-bench win; off by default in the full "
+                        "pipeline, see PipelineOptions.pipeline_chains)")
     p.add_argument("--parallel-segments", type=int, default=1,
                    help="map N overlapping sequence segments with "
                         "interleaved device dispatch (their pull "
@@ -298,7 +300,7 @@ def main(argv=None):
         merge=not args.no_merge,
         chain_frames=not args.no_chain_frames,
         chain_len=args.chain_len,
-        pipeline_chains=not args.no_pipeline_chains,
+        pipeline_chains=args.pipeline_chains,
         parallel_segments=args.parallel_segments,
         segment_overlap=args.segment_overlap,
         final_closure_sweeps=args.final_closure_sweeps,

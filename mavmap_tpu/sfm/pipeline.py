@@ -84,7 +84,15 @@ class PipelineOptions:
     # automatically under constrain_rotation (the IMU pre-alignment
     # rotates the model frame between chains, which would orphan a chain
     # anchored on pre-rotation device state).
-    pipeline_chains: bool = True
+    #
+    # Default OFF in the full pipeline: the headline bench (no in-loop
+    # closure detection) gains 27.2 -> 29.3 fps from it, but with the
+    # pipeline's loop-detection cadence the gain measured ~nil (the
+    # detection programs serialize behind the in-flight chain), and on
+    # 1000-image surveys the remote TPU worker crashed in the subsequent
+    # global BA after pipelined runs (reproducible; under investigation —
+    # 500 images clean). bench.py enables it explicitly.
+    pipeline_chains: bool = False
     # Segment-parallel mapping (beyond the reference, which is strictly
     # one-frame-at-a-time): partition [start, end] into `parallel_segments`
     # contiguous segments, map each with its own SequentialMapper, and

@@ -508,3 +508,25 @@ def test_cli_checkpoint_save_and_resume(rng, tmp_path):
     r2 = np.array([[float(x) for x in l.split(",")[8:11]]
                    for l in c2 if not l.startswith("#")])
     assert np.abs(r1 - r2).max() < 0.02
+
+
+@pytest.mark.slow
+def test_pipeline_chains_option_matches_default(rng):
+    """--pipeline-chains (speculative cont-chain dispatch) produces the
+    same model as the default synchronous chain loop."""
+    scene = make_uav_scene(num_images=12, num_points=2200, relief=10.0,
+                           rows=1, seed=41)
+    feats, _ = render_features(scene, pixel_noise=0.3, clutter=12, seed=41)
+
+    def run(pipe):
+        opts = PipelineOptions(verbose=False, tri_min_angle=1.0,
+                               init_tri_min_angle=4.0, min_track_len=2,
+                               loop_detection=False, pipeline_chains=pipe)
+        return run_pipeline(scene.image_cameras, scene.cam_models,
+                            scene.cam_params, _provider(feats), opts)
+
+    m0 = run(False).main_mapper
+    m1 = run(True).main_mapper
+    assert m0.num_proc_images == m1.num_proc_images == 12
+    assert _ate_of(m0, scene) < 0.02
+    assert _ate_of(m1, scene) < 0.02
