@@ -1075,7 +1075,7 @@ class SequentialMapper:
             out.append((r, states[k][0], states[k][1], tri_nt))
         return out
 
-    def batch_register_pairs(self, pairs, options):
+    def batch_register_pairs(self, pairs, options, closure=False):
         """Register many (curr_idx, prev_idx) pairs — distinct current
         images — in ONE device call (register_view_pairs); commits run
         sequentially with the usual gates. prev of every pair must be
@@ -1083,6 +1083,10 @@ class SequentialMapper:
 
         Used by the back-fill pass: the reference pays a full sequential
         process() per (skipped frame, neighbor) pair (mapper.cc:221-299).
+
+        closure=True: the currents are ALREADY-REGISTERED images and each
+        commit adds loop-closure correspondences (the batched final-sweep
+        path) instead of treating a processed current as already done.
         """
         from .kernels import register_view_pairs
 
@@ -1104,7 +1108,8 @@ class SequentialMapper:
             out = []
             for k in range(0, len(pairs), MAX_B):
                 out.extend(self.batch_register_pairs(pairs[k:k + MAX_B],
-                                                     options))
+                                                     options,
+                                                     closure=closure))
             return out
         B = MAX_B
         # Host work only for the REAL pairs; pad the stacked arrays by
@@ -1163,15 +1168,17 @@ class SequentialMapper:
         rows, scalars = jax.device_get((rows, scalars))
         out = []
         for k, (curr, prev) in enumerate(pairs):
-            # Every pair was built while `curr` was unregistered; if an
-            # earlier pair (or chunk) registered it, committing this one
-            # would inject 3-D points triangulated with a pose that never
-            # got committed — match the reference's break-on-first-success.
-            if self.is_image_processed(curr):
+            # Back-fill: every pair was built while `curr` was
+            # unregistered; if an earlier pair (or chunk) registered it,
+            # committing this one would inject 3-D points triangulated
+            # with a pose that never got committed — match the
+            # reference's break-on-first-success. (Closure mode registers
+            # ALREADY-processed currents by design.)
+            if not closure and self.is_image_processed(curr):
                 out.append(True)
                 continue
             if self.is_pair_processed(curr, prev):
-                out.append(True)
+                out.append(not closure)
                 continue
             r = unpack_register(rows[k], scalars[k])
             ok = self._register_gates(curr, prev, r, options)
@@ -1181,6 +1188,49 @@ class SequentialMapper:
                                            tri_nts[k])
             out.append(bool(ok))
         return out
+
+    def batch_detect_closures(self, query_idxs, num_images=30,
+                              nh_distance=30, options=None, verbose=False):
+        """Cross-survey loop closures for MANY query images in batched
+        device calls (the final-closure-sweep path): per query, voc-tree
+        retrieval + one batched match-count pre-gate select the
+        non-neighborhood candidates that can pass the inlier threshold;
+        ALL surviving (query, candidate) pairs then register through the
+        chunked register_view_pairs kernel with closure commits. The
+        per-query sequential detect_loop costs one device round-trip per
+        candidate set PER QUERY — at survey scale (250+ queries) that was
+        the dominant post-pass cost. Returns #closures committed."""
+        if self.loop_detector is None:
+            return 0
+        options = options or SequentialMapperOptions()
+        t = options.ransac_min_inlier_threshold
+        min_needed = max(4, int(t)) if t >= 1 else 4
+
+        jobs = []
+        for q in query_idxs:
+            if not self.is_image_processed(q):
+                continue
+            idxs, _ = self.find_similar_images(q, num_images)
+            cand = [int(c) for c in idxs
+                    if int(c) != q
+                    and abs(int(c) - q) > nh_distance
+                    and self.is_image_processed(int(c))
+                    and not self.is_pair_processed(q, int(c))]
+            if not cand:
+                continue
+            counts = self._batch_match_counts(q, cand, options)
+            jobs += [(q, c) for c, n in zip(cand, counts)
+                     if n >= min_needed]
+        if not jobs:
+            return 0
+        got = self.batch_register_pairs(jobs, options, closure=True)
+        n = 0
+        for (q, c), ok in zip(jobs, got):
+            if ok:
+                n += 1
+                if verbose:
+                    print(f"Closed loop #{q} -> #{c}")
+        return n
 
     # ---------------------------------------------------------------- merge
 

@@ -196,15 +196,18 @@ def _final_closure_sweeps(mapper, opts: PipelineOptions, rot_priors=None):
         return 0
     total = 0
     for _ in range(opts.final_closure_sweeps):
-        added = 0
         seq = _mapper_options(opts, num_proc=mapper.num_proc_images)
         reg = sorted(mapper.image_idx_to_id.keys())
-        for idx in reg[:: max(opts.final_closure_step, 1)]:
-            added += mapper.detect_loop(
-                idx, num_images=opts.loop_detection_num_images,
-                num_nh_images=0,  # cross-survey (non-neighborhood) only
-                nh_distance=opts.loop_detection_nh_dist,
-                options=seq)
+        # Batched across ALL query images of the sweep: retrieval +
+        # match-count pre-gates select candidate pairs, then one chunked
+        # register_view_pairs pass commits the closures — the per-query
+        # sequential detect_loop was the dominant post-pass cost at
+        # survey scale (~190 s of a 1000-image run).
+        added = mapper.batch_detect_closures(
+            reg[:: max(opts.final_closure_step, 1)],
+            num_images=opts.loop_detection_num_images,
+            nh_distance=opts.loop_detection_nh_dist,
+            options=seq, verbose=False)
         if added == 0:
             break
         if opts.verbose:
