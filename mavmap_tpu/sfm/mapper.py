@@ -1189,6 +1189,57 @@ class SequentialMapper:
             out.append(bool(ok))
         return out
 
+    def _batch_match_counts_pairs(self, pairs, options):
+        """Match counts for MANY (a, b) image pairs in ONE device call.
+
+        The per-query `_batch_match_counts` stacks the candidates' device
+        descriptors per call (~250 calls x 32 stack dispatches over the
+        tunnel for a 1000-image sweep). Here ALL unique images' features
+        upload as one (U, F, D) host-built stack and a single vmapped
+        program gathers each pair's rows — the whole sweep's pre-gate
+        becomes one round-trip. Shapes bucket (U to 64, P to 512) so
+        repeat sweeps reuse the executable."""
+        from ..ops.matching import match_brute_force
+
+        if not pairs:
+            return np.zeros(0, np.int64)
+        imgs = sorted({i for p in pairs for i in p})
+        row = {i: k for k, i in enumerate(imgs)}
+        F = self.provider.capacity
+        U = -(-len(imgs) // 64) * 64
+        feats0 = self._features(imgs[0])
+        D = feats0.descriptors.shape[1]
+        dstack = np.zeros((U, F, D), np.float32)
+        mstack = np.zeros((U, F), bool)
+        for k, i in enumerate(imgs):
+            f = self._features(i)
+            dstack[k] = f.descriptors
+            mstack[k] = f.mask
+        P = -(-len(pairs) // 512) * 512
+        ai = np.zeros(P, np.int32)
+        bi = np.zeros(P, np.int32)
+        ai[: len(pairs)] = [row[a] for a, b in pairs]
+        bi[: len(pairs)] = [row[b] for a, b in pairs]
+
+        @jax.jit
+        def counts_fn(dstack, mstack, ai, bi, ratio):
+            def one(p):
+                a, b = p
+                _, ok = match_brute_force(
+                    dstack[a], dstack[b], mstack[a], mstack[b], ratio=ratio)
+                return jnp.sum(ok)
+
+            # lax.map with a bounded batch: a flat vmap over thousands of
+            # pairs materializes (P, F, D) gathered operands and crashed
+            # the TPU compile helper at survey scale; 64-pair chunks keep
+            # the working set ~tens of MB with one compiled body.
+            return jax.lax.map(one, (ai, bi), batch_size=64)
+
+        c = np.asarray(counts_fn(
+            jnp.asarray(dstack), jnp.asarray(mstack), jnp.asarray(ai),
+            jnp.asarray(bi), jnp.float32(options.match_max_ratio)))
+        return c[: len(pairs)]
+
     def batch_detect_closures(self, query_idxs, num_images=30,
                               nh_distance=30, options=None, verbose=False):
         """Cross-survey loop closures for MANY query images in batched
@@ -1206,21 +1257,22 @@ class SequentialMapper:
         t = options.ransac_min_inlier_threshold
         min_needed = max(4, int(t)) if t >= 1 else 4
 
-        jobs = []
+        cand_pairs = []
         for q in query_idxs:
             if not self.is_image_processed(q):
                 continue
             idxs, _ = self.find_similar_images(q, num_images)
-            cand = [int(c) for c in idxs
-                    if int(c) != q
-                    and abs(int(c) - q) > nh_distance
-                    and self.is_image_processed(int(c))
-                    and not self.is_pair_processed(q, int(c))]
-            if not cand:
-                continue
-            counts = self._batch_match_counts(q, cand, options)
-            jobs += [(q, c) for c, n in zip(cand, counts)
-                     if n >= min_needed]
+            cand_pairs += [
+                (q, int(c)) for c in idxs
+                if int(c) != q
+                and abs(int(c) - q) > nh_distance
+                and self.is_image_processed(int(c))
+                and not self.is_pair_processed(q, int(c))
+            ]
+        if not cand_pairs:
+            return 0
+        counts = self._batch_match_counts_pairs(cand_pairs, options)
+        jobs = [p for p, n in zip(cand_pairs, counts) if n >= min_needed]
         if not jobs:
             return 0
         got = self.batch_register_pairs(jobs, options, closure=True)

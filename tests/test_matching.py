@@ -84,3 +84,30 @@ def test_median_disparity(rng):
     valid2 = valid.at[5:].set(False)
     med2 = matching.median_feature_disparity(kp1, kp2, matches, valid2)
     assert abs(float(med2) - 5.0) < 1e-5
+
+
+def test_batch_match_counts_pairs_matches_per_query(rng):
+    """The one-round-trip pair-counts pre-gate equals the per-query
+    batched counts (same matcher, same ratio)."""
+    import numpy as np
+    from mavmap_tpu.features import ArrayFeatureProvider
+    from mavmap_tpu.sfm import SequentialMapper, SequentialMapperOptions
+
+    F, D, N = 96, 32, 6
+    base = rng.normal(size=(F, D)).astype(np.float32)
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    feats = []
+    for i in range(N):
+        d = base + rng.normal(size=(F, D)).astype(np.float32) * (0.02 + 0.1 * i)
+        d /= np.linalg.norm(d, axis=1, keepdims=True)
+        feats.append((np.zeros((F, 2), np.float32), d))
+    prov = ArrayFeatureProvider(feats, capacity=F)
+    m = SequentialMapper(np.zeros(N, np.int32), np.array([1], np.int32),
+                         np.zeros((1, 9), np.float32), prov)
+    opts = SequentialMapperOptions()
+
+    pairs = [(0, 1), (0, 3), (2, 5), (4, 1), (3, 3)]
+    got = m._batch_match_counts_pairs(pairs, opts)
+    for (a, b), n in zip(pairs, got):
+        ref = m._batch_match_counts(a, [b], opts)
+        assert int(n) == int(ref[0]), (a, b, n, ref)
