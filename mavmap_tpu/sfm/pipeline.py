@@ -970,6 +970,15 @@ def run_pipeline(
                 continue
             lo, hi = getattr(m, "_segment_range", (start, end))
             process_remaining_images(m, lo, hi, opts)
+    import os as _os
+
+    if _os.environ.get("MAVMAP_CLEAR_BEFORE_GLOBAL_BA") == "1":
+        # Diagnostic hook: drop all jit caches (frees the sequential
+        # loop's compiled executables on the device) before the heavy
+        # global solves — isolates worker program/memory exhaustion.
+        import jax as _jax
+
+        _jax.clear_caches()
     with _stage("global_ba"):
         for m in mappers:
             if m.num_proc_images:
