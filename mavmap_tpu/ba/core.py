@@ -1310,28 +1310,26 @@ def _cam_free_in_jit(cam_models):
 
 
 @partial(jax.jit, static_argnames=(
-    "scale", "lambda_init", "lambda_up", "lambda_down",
-    "function_tolerance", "max_iters", "solver", "cg_max_iters", "cg_tol",
-    "backend", "selfcal"))
+    "max_iters", "solver", "cg_max_iters", "backend", "selfcal"))
 def _lm_loop_packed(obs_i, obs_f, img_f, pt_f, ptd_i, cams, *,
                     scale, lambda_init, lambda_up, lambda_down,
                     function_tolerance, max_iters, solver, cg_max_iters,
                     cg_tol, backend, selfcal):
     """Packed-transport LM entry: 6 consolidated buffers in, packed out.
 
-    NOTE on statics: the FLOAT hyper-parameters (scale, lambda_*,
-    function_tolerance, cg_tol) are jit statics here — every distinct
-    BAOptions float combination compiles a fresh (~15 s) XLA executable.
-    That is deliberate for the pipeline, which runs a small constant set
-    of options, because baking the floats lets XLA constant-fold the LM
-    damping/acceptance arithmetic. Callers SWEEPING float options on host
-    problems should expect one compile per combination (or go through
-    `_lm_loop`, which takes them traced)."""
+    The float hyper-parameters (scale, lambda_*, function_tolerance,
+    cg_tol) are TRACED scalars: a caller sweeping BAOptions floats (or a
+    pipeline mixing loss scales) reuses one compiled executable per
+    (shape-bucket, max_iters, solver) combination instead of paying a
+    ~15 s XLA compile per float combination. Structural knobs stay static
+    (they change the program)."""
     prob = _unpack_problem(obs_i, obs_f, img_f, pt_f, ptd_i, cams)
-    args = (jnp.float32(scale), lambda_init, lambda_up, lambda_down,
-            function_tolerance)
+    args = (jnp.float32(scale), jnp.float32(lambda_init),
+            jnp.float32(lambda_up), jnp.float32(lambda_down),
+            jnp.float32(function_tolerance))
     kw = dict(max_iters=max_iters, solver=solver,
-              cg_max_iters=cg_max_iters, cg_tol=cg_tol, backend=backend)
+              cg_max_iters=cg_max_iters, cg_tol=jnp.float32(cg_tol),
+              backend=backend)
     if selfcal:
         return _lm_loop_selfcal(prob, _cam_free_in_jit(prob.cam_models),
                                 *args, **kw)

@@ -58,6 +58,14 @@ def build_parser():
     p.add_argument("--surf-adaptive-max-per-cell", type=int, default=0,
                    help="features per grid cell; overrides --max-features "
                         "when > 0 (reference surf-adaptive-max-per-cell)")
+    p.add_argument("--surf-adaptive-min-per-cell", type=int, default=0,
+                   help="minimum features per grid cell: activates "
+                        "cross-frame adaptive per-cell thresholds "
+                        "(AdaptiveDetector — per-cell Hessian thresholds "
+                        "lower/raise by 1.5x and persist across frames, "
+                        "reference AdaptiveSURF feature.cc:198-309 + "
+                        "mapper.cc:707-712); maxima below the quality "
+                        "floor hessian/1.5^10 are never admitted")
     p.add_argument("--max-features", type=int, default=2048)
 
     # Matching / gates (mapper.cc:755-806).
@@ -141,9 +149,15 @@ def build_parser():
                         "tracks, cameras) after mapping (beyond the "
                         "reference; utils/checkpoint.py)")
     p.add_argument("--load-map", default="",
-                   help="resume from a map checkpoint: restore the map, "
-                        "back-fill remaining frames, re-run global BA, "
-                        "and write outputs (skips the mapping loop)")
+                   help="resume from a map checkpoint: restore the map + "
+                        "loop-retrieval DB and CONTINUE sequential mapping "
+                        "from the last processed frame, then the normal "
+                        "post-pass (back-fill, global BA, closure sweeps) "
+                        "and outputs")
+    p.add_argument("--checkpoint-period", type=int, default=0,
+                   help="write the --save-map checkpoint every N committed "
+                        "frames during mapping (0 = only at the end), so a "
+                        "preempted run resumes with --load-map")
     p.add_argument("--mesh", type=int, default=1,
                    help="device-mesh size for distributed global BA and "
                         "sharded matching fan-outs (beyond the reference): "
@@ -223,14 +237,25 @@ def main(argv=None):
         "grid_size": (args.surf_adaptive_cell_rows,
                       args.surf_adaptive_cell_cols),
         "max_features": args.max_features,
+        "min_per_cell": args.surf_adaptive_min_per_cell,
     }
+
+    adaptive_det = None
+    if args.surf_adaptive_min_per_cell > 0:
+        from .features.detector import AdaptiveDetector
+
+        adaptive_det = AdaptiveDetector(**detector_params)
 
     def detect(image_idx):
         from .features.detector import detect_image_file
 
         name = args.image_prefix + records[image_idx].name + args.image_suffix
         path = os.path.join(args.input_path, name + args.image_ext)
-        return detect_image_file(path, **detector_params)
+        if adaptive_det is not None:
+            return detect_image_file(path, detector=adaptive_det)
+        params = {k: v for k, v in detector_params.items()
+                  if k != "min_per_cell"}
+        return detect_image_file(path, **params)
 
     cache = FeatureCache(cache_path, detector_params, detector=detect,
                          capacity=args.max_features)
@@ -330,38 +355,18 @@ def main(argv=None):
         verbose=not args.quiet,
         refine_camera_params=args.refine_camera_params,
         matcher_backend=args.matcher_backend,
+        checkpoint_period=args.checkpoint_period,
+        checkpoint_path=args.save_map,
         debug=args.debug,
         debug_path=args.debug_path,
     )
 
-    if args.load_map:
-        # Resume path: restore the checkpointed map into a fresh mapper,
-        # then run only the post-pass (back-fill + global BA) + outputs.
-        from .sfm import SequentialMapper
-        from .sfm.pipeline import (PipelineResult, _global_ba,
-                                   process_remaining_images)
-        from .loop import LoopDetector
-        from .utils.checkpoint import load_map
-
-        det = (LoopDetector(voc_tree)
-               if (voc_tree is not None and opts.loop_detection) else None)
-        m = SequentialMapper(image_cameras, cam_models, cam_params,
-                             provider, loop_detector=det)
-        load_map(m, args.load_map)
-        start = opts.start_image_idx
-        end = (opts.end_image_idx if opts.end_image_idx >= 0
-               else len(records) - 1)
-        n = process_remaining_images(m, start, end, opts)
-        if not args.quiet and n:
-            print(f"Back-filled {n} frames after resume")
-        _global_ba(m, opts, rot_priors if opts.constrain_rotation else None)
-        result = PipelineResult(mappers=[m], records=records)
-    else:
-        result = run_pipeline(
-            image_cameras, cam_models, cam_params, provider, opts,
-            voc_tree=voc_tree, rot_priors=rot_priors,
-            control_points=control_points,
-        )
+    result = run_pipeline(
+        image_cameras, cam_models, cam_params, provider, opts,
+        voc_tree=voc_tree, rot_priors=rot_priors,
+        control_points=control_points,
+        resume_from=args.load_map or None,
+    )
 
     if args.save_map and result.mappers:
         from .utils.checkpoint import save_map

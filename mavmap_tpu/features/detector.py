@@ -42,16 +42,22 @@ def _gaussian_kernel1d(sigma, radius):
 
 
 def _sep_conv2d(img, kx, ky):
-    """Separable 2-D convolution with SAME padding. img: (H, W)."""
-    img4 = img[None, None]
+    """Separable 2-D convolution with edge-REPLICATE padding. img: (H, W).
+
+    Zero padding would fabricate step edges at the image border (a
+    constant image must yield zero derivatives everywhere): the resulting
+    phantom responses at coarse octaves reach ~4*sigma*2^o full-res px
+    inside — far past the fixed 8-px border suppression — and showed up
+    as junk border keypoints in flat frames."""
     rx = (len(kx) - 1) // 2
     ry = (len(ky) - 1) // 2
+    img4 = jnp.pad(img, ((ry, ry), (rx, rx)), mode="edge")[None, None]
     out = jax.lax.conv_general_dilated(
-        img4, kx[None, None, None, :], (1, 1), [(0, 0), (rx, rx)],
+        img4, kx[None, None, None, :], (1, 1), [(0, 0), (0, 0)],
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
     )
     out = jax.lax.conv_general_dilated(
-        out, ky[None, None, :, None], (1, 1), [(ry, ry), (0, 0)],
+        out, ky[None, None, :, None], (1, 1), [(0, 0), (0, 0)],
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
     )
     return out[0, 0]
@@ -76,7 +82,7 @@ def _hessian_response(img, sigma):
     jax.jit,
     static_argnames=(
         "num_octaves", "num_octave_layers", "max_features", "grid_size",
-        "upright",
+        "upright", "min_per_cell", "adapt_levels",
     ),
 )
 def detect_and_describe(
@@ -87,15 +93,32 @@ def detect_and_describe(
     max_features=2048,
     grid_size=3,
     upright=False,
+    cell_thresholds=None,
+    min_per_cell=0,
+    adapt_levels=10,
 ):
     """(H, W) grayscale [0, 255] -> (keypoints (K, 2), scales (K,),
-    descriptors (K, 128), mask (K,)).
+    descriptors (K, 128), mask (K,), cell_counts (rows*cols,)).
 
     K = max_features. Spatial-uniformity: the response map is divided into
     a rows x cols grid (grid_size: int for square, or (rows, cols)) and
     each cell receives an equal share of the keypoint budget (counterpart
     of the reference's adaptive per-cell thresholds, feature.h:24-31,
     surf-adaptive-cell-rows/cols CLI flags).
+
+    Adaptive per-cell thresholds (reference AdaptiveSURF,
+    feature.cc:198-309): `cell_thresholds` is an optional (rows*cols,)
+    TRACED array of per-cell Hessian thresholds (same units as
+    hessian_threshold) — the cross-frame memory lives on host in
+    AdaptiveDetector, so every frame reuses one compiled executable. With
+    `min_per_cell` > 0 the strongest min_per_cell maxima of a cell are
+    admitted even below the cell threshold (the closed-form equivalent of
+    the reference's iterative /1.5 threshold lowering — the full response
+    map is already computed, so "lower and re-detect" collapses to
+    rank-based admission), but never below the QUALITY FLOOR
+    hessian_threshold / 1.5^adapt_levels — textureless cells emit nothing
+    rather than noise maxima. cell_counts reports per-cell above-threshold
+    counts for the host-side adaptation rule.
     """
     H, W = img.shape
     img = img.astype(jnp.float32) / 255.0
@@ -167,15 +190,24 @@ def detect_and_describe(
     responses = jnp.stack(resp_full)  # (S, H, W) sparse suppressed scores
     responses_dense = jnp.stack(dense_full)
     thr = hessian_threshold * 1e-6
-    responses = jnp.where(responses > thr, responses, -jnp.inf)
+    # Quality floor: the deepest threshold the reference's /1.5 adaptation
+    # could reach — maxima below it are noise, never admitted.
+    floor = thr * float(1.5 ** (-adapt_levels)) if min_per_cell > 0 else thr
+    responses = jnp.where(responses > floor, responses, -jnp.inf)
     score_flat = jnp.max(responses, axis=0)  # best scale per pixel
     best_scale = jnp.argmax(responses, axis=0)
+
+    if cell_thresholds is None:
+        cell_thr = jnp.full((grid_rows * grid_cols,), thr, jnp.float32)
+    else:
+        cell_thr = jnp.asarray(cell_thresholds, jnp.float32) * 1e-6
 
     # Per-cell top-k.
     per_cell = max_features // (grid_rows * grid_cols)
     cell_h = H // grid_rows
     cell_w = W // grid_cols
-    kps, scs, scores_out = [], [], []
+    kps, scs, mask_out, counts_out = [], [], [], []
+    rank = jnp.arange(per_cell)
     # Fixed-size cells: the H%grid_rows / W%grid_cols remainder strip is
     # not scanned (it lies inside the 8-px suppressed border for realistic
     # grids).
@@ -190,11 +222,17 @@ def detect_and_describe(
             px = idx % cell_w + x0
             kps.append(jnp.stack([px, py], axis=-1))
             scs.append(cell_scale.reshape(-1)[idx])
-            scores_out.append(vals)
+            ct = cell_thr[cy * grid_cols + cx]
+            above = jnp.isfinite(vals) & (vals > ct)
+            counts_out.append(jnp.sum(above, dtype=jnp.int32))
+            keep = above
+            if min_per_cell > 0:
+                keep = keep | (jnp.isfinite(vals) & (rank < min_per_cell))
+            mask_out.append(keep)
     keypoints = jnp.concatenate(kps).astype(jnp.float32)  # (K', 2) as (x, y)
     scale_idx = jnp.concatenate(scs)
-    scores = jnp.concatenate(scores_out)
-    mask = jnp.isfinite(scores) & (scores > thr)
+    mask = jnp.concatenate(mask_out)
+    cell_counts = jnp.stack(counts_out)
 
     sigmas_arr = jnp.asarray(sigmas, jnp.float32)
     kp_sigma = sigmas_arr[scale_idx]
@@ -237,7 +275,7 @@ def detect_and_describe(
         kp_sigma = jnp.concatenate([kp_sigma, jnp.ones((pad,), jnp.float32)])
         desc = jnp.concatenate([desc, jnp.zeros((pad, 128), jnp.float32)])
         mask = jnp.concatenate([mask, jnp.zeros((pad,), bool)])
-    return keypoints, kp_sigma, desc, mask
+    return keypoints, kp_sigma, desc, mask, cell_counts
 
 
 def _bilinear_sampler(H, W):
@@ -360,12 +398,12 @@ def _describe(img, keypoints, sigmas, cells=4, samples_per_cell=5,
 
 def detect_image(img_array, hessian_threshold=100.0, num_octaves=4,
                  num_octave_layers=3, max_features=2048, upright=False,
-                 grid_size=3):
+                 grid_size=3, cell_thresholds=None, min_per_cell=0):
     """Numpy grayscale/RGB image -> (keypoints (N, 2), descriptors (N, 128))."""
     img = np.asarray(img_array)
     if img.ndim == 3:
         img = img.mean(axis=-1)
-    kp, sig, desc, mask = detect_and_describe(
+    kp, sig, desc, mask, _ = detect_and_describe(
         jnp.asarray(img, jnp.float32),
         hessian_threshold=hessian_threshold,
         num_octaves=num_octaves,
@@ -373,16 +411,80 @@ def detect_image(img_array, hessian_threshold=100.0, num_octaves=4,
         max_features=max_features,
         upright=upright,
         grid_size=grid_size if isinstance(grid_size, int) else tuple(grid_size),
+        cell_thresholds=cell_thresholds,
+        min_per_cell=min_per_cell,
     )
     m = np.asarray(mask)
     return np.asarray(kp)[m], np.asarray(desc)[m]
 
 
-def detect_image_file(path, **kwargs):
+class AdaptiveDetector:
+    """Cross-frame adaptive per-cell thresholds — the stateful counterpart
+    of the reference's AdaptiveSURF (feature.cc:198-309): each grid cell
+    remembers its own Hessian threshold across frames, lowering it (/1.5)
+    when the cell yields fewer than `min_per_cell` above-threshold maxima
+    and raising it (*1.5) when the cell saturates its budget, clamped to
+    [hessian/1.5^adapt_levels, hessian*1.5^adapt_levels]. Within a frame
+    the kernel's rank-based admission (detect_and_describe) already
+    guarantees min_per_cell wherever the quality floor allows, so the
+    remembered thresholds only tune WHICH maxima count as above-threshold
+    — no per-cell re-detection loops, one compiled executable for every
+    frame.
+
+    CLI: --surf-adaptive-min-per-cell > 0 activates this wrapper
+    (reference mapper.cc:707-712)."""
+
+    def __init__(self, hessian_threshold=100.0, min_per_cell=100,
+                 num_octaves=4, num_octave_layers=3, max_features=2048,
+                 grid_size=3, upright=False, adapt_levels=10):
+        rows, cols = ((grid_size, grid_size) if isinstance(grid_size, int)
+                      else grid_size)
+        self.grid = (rows, cols)
+        self.hessian_threshold = float(hessian_threshold)
+        self.min_per_cell = int(min_per_cell)
+        self.max_per_cell = max_features // (rows * cols)
+        self.adapt_levels = int(adapt_levels)
+        self.kw = dict(num_octaves=num_octaves,
+                       num_octave_layers=num_octave_layers,
+                       max_features=max_features,
+                       grid_size=(rows, cols), upright=upright)
+        self.cell_thr = np.full((rows * cols,), self.hessian_threshold,
+                                np.float32)
+
+    def detect(self, img_array):
+        """(keypoints (N, 2), descriptors (N, 128)) + threshold update."""
+        img = np.asarray(img_array)
+        if img.ndim == 3:
+            img = img.mean(axis=-1)
+        kp, sig, desc, mask, counts = detect_and_describe(
+            jnp.asarray(img, jnp.float32),
+            hessian_threshold=self.hessian_threshold,
+            cell_thresholds=jnp.asarray(self.cell_thr),
+            min_per_cell=self.min_per_cell,
+            adapt_levels=self.adapt_levels,
+            **self.kw,
+        )
+        counts = np.asarray(counts)
+        lo = self.hessian_threshold * 1.5 ** (-self.adapt_levels)
+        hi = self.hessian_threshold * 1.5 ** (self.adapt_levels)
+        thr = self.cell_thr
+        thr = np.where(counts < self.min_per_cell, thr / 1.5,
+                       np.where(counts >= self.max_per_cell, thr * 1.5, thr))
+        self.cell_thr = np.clip(thr, lo, hi).astype(np.float32)
+        m = np.asarray(mask)
+        return np.asarray(kp)[m], np.asarray(desc)[m]
+
+
+def detect_image_file(path, detector=None, **kwargs):
     """(keypoints, descriptors, (rows, cols)) — dims ride along so the
-    feature cache can answer query_dimensions without re-decoding."""
+    feature cache can answer query_dimensions without re-decoding.
+    `detector`: optional stateful AdaptiveDetector to use instead of the
+    stateless path."""
     from PIL import Image
 
     img = np.asarray(Image.open(path).convert("L"), np.float32)
-    kp, desc = detect_image(img, **kwargs)
+    if detector is not None:
+        kp, desc = detector.detect(img)
+    else:
+        kp, desc = detect_image(img, **kwargs)
     return kp, desc, img.shape

@@ -161,22 +161,47 @@ class LoopDetector:
         ).reshape(K, F)
         for (image_idx, (f, _, _)), words in zip(items, words_all[:K0]):
             self._words_cache[image_idx] = words
-            w = words[words >= 0]
-            slot = len(self._image_idxs)
-            uw, tf = np.unique(w, return_counts=True)
-            self._post_words.append(uw.astype(np.int64))
-            self._post_tfs.append(tf.astype(np.float32))
-            self._df[uw] += 1
-            self._inv = None
-            if self.score_mode == "dense":
-                if slot >= len(self._bow):
-                    extra = np.zeros((self.capacity_step, self.num_words),
-                                     np.float32)
-                    self._bow = np.concatenate([self._bow, extra], axis=0)
-                self._bow[slot] = self._bow_of(w)
-            self._idx_to_slot[image_idx] = slot
-            self._image_idxs.append(image_idx)
-            self._forward[image_idx] = self._quantize_with_coords(f, image_idx)
+            self._insert(image_idx, f, words)
+
+    def _insert(self, image_idx, features, words):
+        """Index an image whose per-keypoint words are already known
+        (words must be cached in _words_cache before calling)."""
+        w = words[words >= 0]
+        slot = len(self._image_idxs)
+        uw, tf = np.unique(w, return_counts=True)
+        self._post_words.append(uw.astype(np.int64))
+        self._post_tfs.append(tf.astype(np.float32))
+        self._df[uw] += 1
+        self._inv = None
+        if self.score_mode == "dense":
+            if slot >= len(self._bow):
+                extra = np.zeros((self.capacity_step, self.num_words),
+                                 np.float32)
+                self._bow = np.concatenate([self._bow, extra], axis=0)
+            self._bow[slot] = self._bow_of(w)
+        self._idx_to_slot[image_idx] = slot
+        self._image_idxs.append(image_idx)
+        self._forward[image_idx] = self._quantize_with_coords(
+            features, image_idx)
+
+    def saved_words(self):
+        """Per-image quantized words for checkpointing: (image_idxs,
+        {idx: per-keypoint words incl. -1 for masked rows}). The analog of
+        the reference inverted file's idf persistence
+        (voc_tree_inv_file.cc:331-344) — but stronger: the raw
+        quantizations rebuild postings, idf, BoW matrix, AND forward files
+        deterministically without a single voc-tree descent on restore."""
+        self._flush_pending()
+        return list(self._image_idxs), dict(self._words_cache)
+
+    def restore_image(self, image_idx, features, words):
+        """Re-index a checkpointed image from its saved quantization —
+        no device call, no voc-tree descent (checkpoint/resume path)."""
+        if image_idx in self._idx_to_slot or image_idx in self._pending:
+            return
+        words = np.asarray(words)
+        self._words_cache[image_idx] = words
+        self._insert(image_idx, features, words)
 
     def forward_data(self, image_idx):
         """Stored (sorted unique words, coords) for an image — the

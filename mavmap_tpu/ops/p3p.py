@@ -140,6 +140,31 @@ def solve_p3p(points2D, points3D):
     return models, valid
 
 
+def solve_p3p_best(points2D, points3D):
+    """P3P minimal solver returning ONE disambiguated model.
+
+    Consumes a 4-row sample like the reference (p3p.h:35): the first 3
+    correspondences build the quartic; the remaining sample rows
+    disambiguate among the up-to-4 candidate poses by total reprojection
+    error (reference p3p.cc:144-159 uses the 4th point alone; summing over
+    the whole sample is the same decision in the exact case and strictly
+    more robust under noise). Returns (models (1, 3, 4), mask (1,)).
+
+    Under RANSAC this quarters the residual-scoring work: the dominant
+    (T*M, N) reprojection matrix shrinks from 4 candidate models per trial
+    to 1 — the reference also scores a single model per trial
+    (sequential_mapper.cc:640-659 at 500 trials).
+    """
+    models, valid = solve_p3p(points2D, points3D)
+    errs = jax.vmap(lambda m: calc_reproj_errors(points2D, points3D, m))(
+        models)  # (4, S)
+    tot = jnp.sum(jnp.minimum(jnp.nan_to_num(errs, nan=1e6, posinf=1e6),
+                              1e6), axis=1)
+    tot = jnp.where(valid, tot, jnp.inf)
+    best = jnp.argmin(tot)
+    return models[best][None], valid[best][None]
+
+
 def p3p_residuals(points2D, points3D, model):
     """Reprojection error in normalized coords per correspondence (N,).
 

@@ -256,7 +256,7 @@ def register_view(
     stable = valid & prev_stable & prev_has_tri
     num_stable = jnp.sum(stable)
     pres = ransac(
-        key_p, x_curr, prev_p3d_xyz, p3p.solve_p3p, p3p.p3p_residuals,
+        key_p, x_curr, prev_p3d_xyz, p3p.solve_p3p_best, p3p.p3p_residuals,
         sample_size=4, num_trials=p3p_trials, threshold=norm_threshold,
         valid_mask=stable,
     )

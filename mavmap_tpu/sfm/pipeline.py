@@ -120,6 +120,13 @@ class PipelineOptions:
     # the mesh. Results match single-device up to collective reduction
     # order (tests/test_parallel.py).
     mesh_devices: int = 1
+    # Periodic map checkpointing (beyond the reference, §5.4 mandate):
+    # every `checkpoint_period` committed frames the main mapper's full
+    # state (map + loop-retrieval DB) is written to `checkpoint_path`;
+    # run_pipeline(resume_from=...) continues the sequential loop from the
+    # last checkpointed frame.
+    checkpoint_period: int = 0
+    checkpoint_path: str = ""
     debug: bool = False
     debug_path: str = ""
 
@@ -675,8 +682,16 @@ def run_pipeline(
     voc_tree=None,
     rot_priors=None,
     control_points=None,
+    resume_from=None,
 ):
-    """The full mapping run (reference mapper.cc main loop, :1014-1245)."""
+    """The full mapping run (reference mapper.cc main loop, :1014-1245).
+
+    resume_from: path of a map checkpoint (utils/checkpoint.save_map) —
+    restores the map + loop-retrieval DB into the first mapper and
+    CONTINUES sequential mapping from the frame after the last processed
+    one (periodic loop detection and local-BA windows run as usual), then
+    the normal post-pass. A checkpoint at the final frame degenerates to
+    back-fill + global BA + outputs."""
     from ..loop import LoopDetector
 
     opts = opts or PipelineOptions()
@@ -734,6 +749,32 @@ def run_pipeline(
     num_skipped = 0
     count_since_loop = 0
 
+    if resume_from:
+        from ..utils.checkpoint import load_map
+
+        load_map(mapper, resume_from)
+        processed = sorted(mapper.image_idx_to_id.keys())
+        if processed:
+            first_idx = processed[0]
+            prev_idx = processed[-1]
+            image_idx = prev_idx + 1
+            if opts.verbose:
+                print(f"Resumed {len(processed)} registered images from "
+                      f"{resume_from}; continuing at #{image_idx}")
+
+    # Periodic checkpointing: save after every `checkpoint_period` newly
+    # committed frames (counted against the CURRENT mapper).
+    ckpt_last = [mapper.num_proc_images]
+
+    def _maybe_checkpoint(m):
+        if opts.checkpoint_period <= 0 or not opts.checkpoint_path:
+            return
+        if m.num_proc_images - ckpt_last[0] >= opts.checkpoint_period:
+            from ..utils.checkpoint import save_map
+
+            save_map(m, opts.checkpoint_path)
+            ckpt_last[0] = m.num_proc_images
+
     # Per-stage wall clocks (reference prints per-frame + total timings,
     # mapper.cc:1181,1252-1257); returned in PipelineResult.timings.
     import time as _time
@@ -753,7 +794,10 @@ def run_pipeline(
 
     t_seq0 = _time.perf_counter()
     idx = image_idx
-    if opts.parallel_segments > 1:
+    if resume_from and opts.parallel_segments > 1 and opts.verbose:
+        print("Resume continues sequentially (segment-parallel mapping "
+              "restarts segments from scratch)")
+    if opts.parallel_segments > 1 and not resume_from:
         # Segment-parallel mapping replaces the sequential loop entirely;
         # the shared post-pass below (back-fill, global BA, merge, closure
         # sweeps) stitches the per-segment sub-maps into one model.
@@ -852,6 +896,7 @@ def run_pipeline(
                         nh_distance=opts.loop_detection_nh_dist,
                         options=seq_opts, verbose=opts.verbose)
                     count_since_loop = 0
+                _maybe_checkpoint(mapper)
 
             pipelined = (opts.pipeline_chains and not opts.debug
                          and not opts.constrain_rotation
@@ -940,6 +985,7 @@ def run_pipeline(
                                    nh_distance=opts.loop_detection_nh_dist,
                                    options=seq_opts, verbose=opts.verbose)
                 count_since_loop = 0
+            _maybe_checkpoint(mapper)
             prev_idx = idx
             num_skipped = 0
             idx += 1
@@ -951,6 +997,7 @@ def run_pipeline(
                     print(f"Starting new sub-map at image #{idx}")
                 mapper = new_mapper(len(mappers))
                 mappers.append(mapper)
+                ckpt_last[0] = 0
                 # Restart offset (reference mapper.cc:1157).
                 idx += max(opts.failure_skip_images - 1, 0)
                 first_idx = idx

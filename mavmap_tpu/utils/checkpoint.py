@@ -22,8 +22,25 @@ def save_map(mapper, path):
     ) if track_pids else np.zeros(0, np.int64)
     track_lens = np.asarray([len(s.tracks[p]) for p in track_pids], np.int64)
 
+    # Loop-detector persistence (counterpart of the reference's idf
+    # save/load, voc_tree_inv_file.cc:331-344): the per-image
+    # quantizations rebuild the whole retrieval DB on load without any
+    # voc-tree descent, so a resumed run can close loops against
+    # pre-checkpoint images immediately.
+    loop_kw = {}
+    det = getattr(mapper, "loop_detector", None)
+    if det is not None:
+        idxs, words = det.saved_words()
+        loop_kw["loop_idxs"] = np.asarray(idxs, np.int64)
+        loop_kw["loop_words_lens"] = np.asarray(
+            [len(words[i]) for i in idxs], np.int64)
+        loop_kw["loop_words_flat"] = (
+            np.concatenate([np.asarray(words[i], np.int64) for i in idxs])
+            if idxs else np.zeros(0, np.int64))
+
     np.savez_compressed(
         path,
+        **loop_kw,
         camera_params=s.camera_params,
         camera_models=s.camera_models,
         image_rvecs=s.image_rvecs,
@@ -127,8 +144,19 @@ def load_map(mapper, path):
     mapper.image_id_to_idx = {v: k for k, v in mapper.image_idx_to_id.items()}
     mapper.pair_graph = set((int(a), int(b)) for a, b in d["pair_graph"])
     mapper.num_proc_images = int(d["num_proc_images"])
-    # Rebuild loop-detector state for processed images.
+    # Restore loop-detector state: saved quantizations re-index without
+    # any voc-tree descent; images missing from the checkpoint (detector
+    # enabled after the save) fall back to re-quantization.
     if mapper.loop_detector is not None:
+        det = mapper.loop_detector
+        if "loop_idxs" in d:
+            flat = d["loop_words_flat"]
+            off = 0
+            for idx, ln in zip(d["loop_idxs"], d["loop_words_lens"]):
+                det.restore_image(int(idx), mapper._features(int(idx)),
+                                  flat[off:off + int(ln)])
+                off += int(ln)
         for idx in sorted(mapper.image_idx_to_id.keys()):
-            mapper.loop_detector.add_image(idx, mapper._features(idx))
+            if idx not in det._idx_to_slot and idx not in det._pending:
+                det.add_image(idx, mapper._features(idx))
     return mapper

@@ -90,7 +90,8 @@ def write_cached_cli_dataset(tmp_path, feats, n_images,
 
     params = {"hessian_threshold": 1000.0, "num_octaves": 4,
               "num_octave_layers": 3, "upright": False,
-              "grid_size": (3, 3), "max_features": 1024}
+              "grid_size": (3, 3), "max_features": 1024,
+              "min_per_cell": 0}
     fc = FeatureCache(str(cache), params,
                       detector=lambda i: feats[i], capacity=1024)
     for i in range(n_images):

@@ -113,6 +113,59 @@ def test_detector_upright_flag(rng):
     assert not np.allclose(d1, d2)     # descriptors differ (rotated frame)
 
 
+def test_detector_textureless_floor(rng):
+    """Quality floor under rank-based admission (reference AdaptiveSURF's
+    bounded /1.5 threshold descent): a textureless half-image must emit NO
+    keypoints even with min_per_cell forcing, while the textured half
+    fills its cells."""
+    img = _blob_image(rng, H=240, W=320)
+    img[:, 160:] = 128.0  # right half: perfectly flat
+    from mavmap_tpu.features.detector import AdaptiveDetector
+
+    det = AdaptiveDetector(hessian_threshold=100.0, min_per_cell=20,
+                           max_features=512, grid_size=(2, 2))
+    kp, desc = det.detect(img)
+    left = kp[:, 0] < 155.0
+    assert left.sum() > 40            # textured half delivers
+    # The flat INTERIOR emits nothing (responses there are < the floor);
+    # the seam at x=160 is genuine image structure and may fire, with
+    # coarse-octave smoothing spreading it up to ~2 top-octave sigmas.
+    assert (kp[:, 0] > 210.0).sum() == 0
+
+
+def test_detector_cross_frame_adaptation(rng):
+    """Per-cell thresholds persist and adapt across frames: a low-contrast
+    texture that starts below the initial Hessian threshold becomes
+    above-threshold after the remembered per-cell threshold walks down
+    (/1.5 per frame), growing the above-threshold count."""
+    img = _blob_image(rng, H=240, W=320)
+    # Crush contrast 5x: DoH responses scale by 1/25 — below the initial
+    # threshold but above the quality floor (hessian/1.5^10 ~ 1/57.7).
+    img = 128.0 + (img - 128.0) * 0.2
+    from mavmap_tpu.features.detector import AdaptiveDetector
+
+    det = AdaptiveDetector(hessian_threshold=5000.0, min_per_cell=10,
+                           max_features=512, grid_size=(2, 2))
+    det.detect(img)
+    thr0 = det.cell_thr.copy()
+    for _ in range(6):
+        kp, _ = det.detect(img)
+    assert (det.cell_thr < thr0).all()   # thresholds adapted down
+    # And the stateless path with the adapted thresholds admits more
+    # above-threshold maxima than the initial threshold did.
+    from mavmap_tpu.features.detector import detect_and_describe
+    import jax.numpy as _jnp
+
+    _, _, _, _, c_init = detect_and_describe(
+        _jnp.asarray(img, _jnp.float32), hessian_threshold=5000.0,
+        max_features=512, grid_size=(2, 2))
+    _, _, _, _, c_adapt = detect_and_describe(
+        _jnp.asarray(img, _jnp.float32), hessian_threshold=5000.0,
+        cell_thresholds=_jnp.asarray(det.cell_thr), min_per_cell=10,
+        max_features=512, grid_size=(2, 2))
+    assert int(np.asarray(c_adapt).sum()) > int(np.asarray(c_init).sum())
+
+
 def test_cache_query_dimensions(rng, tmp_path):
     """Dims persisted with the features; query_dimensions answers without
     re-decoding (reference feature_cache.cc:168-195,222-243)."""

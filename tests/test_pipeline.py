@@ -510,6 +510,66 @@ def test_cli_checkpoint_save_and_resume(rng, tmp_path):
     assert np.abs(r1 - r2).max() < 0.02
 
 
+def test_cli_mid_sequence_resume(rng, tmp_path):
+    """A run preempted mid-sequence resumes with --load-map and CONTINUES
+    sequential mapping (not just back-fill): the resumed model registers
+    the full sequence and matches the uninterrupted run's accuracy. The
+    loop-retrieval DB rides along in the checkpoint (restore_image path),
+    so closures against pre-checkpoint frames need no re-quantization."""
+    from tests.conftest import write_cached_cli_dataset
+    from mavmap_tpu.cli import main as cli_main
+    from mavmap_tpu.loop import train_voc_tree
+
+    N = 12
+    scene = make_uav_scene(num_images=N, num_points=2200, relief=10.0,
+                           rows=2, seed=37)
+    feats, _ = render_features(scene, pixel_noise=0.3, clutter=10, seed=37)
+    data, cache = write_cached_cli_dataset(tmp_path, feats, N)
+    tree = train_voc_tree(
+        np.concatenate([d for _, d in feats])[:4000], branching=8, depth=2,
+        seed=0)
+    tree_path = tmp_path / "tree.npz"
+    tree.save(str(tree_path))
+    ckpt = tmp_path / "map.npz"
+
+    base = ["--input-path", str(data), "--cache-path", str(cache),
+            "--max-features", "1024", "--min-track-len", "2",
+            "--tri-min-angle", "1.0", "--init-tri-min-angle", "4.0",
+            "--voc-tree-path", str(tree_path), "--quiet"]
+
+    # Uninterrupted run over all N frames.
+    out_full = tmp_path / "out_full"
+    assert cli_main(base + ["--output-path", str(out_full)]) == 0
+
+    # "Preempted" run: stops after frame 5, checkpointing the map.
+    out1 = tmp_path / "out1"
+    assert cli_main(base + ["--output-path", str(out1),
+                            "--end-image-idx", "5",
+                            "--save-map", str(ckpt)]) == 0
+
+    # Resume continues the sequential loop through frame N-1.
+    out2 = tmp_path / "out2"
+    assert cli_main(base + ["--output-path", str(out2),
+                            "--load-map", str(ckpt)]) == 0
+
+    def centers(out):
+        rows = [l.split(",") for l in
+                (out / "imagedataout.txt").read_text().splitlines()
+                if not l.startswith("#")]
+        idxs = [int(r[0].strip()[3:]) for r in rows]  # "imgN"
+        c = np.array([[float(x) for x in r[8:11]] for r in rows])
+        order = np.argsort(idxs)
+        return c[order], np.asarray(idxs)[order]
+
+    c_full, i_full = centers(out_full)
+    c_res, i_res = centers(out2)
+    assert len(i_res) == len(i_full) == N  # resume registered the rest
+    # Both trajectories track the ground truth equally (gauge-aligned ATE).
+    gt = scene.camera_centers()
+    assert ate_rmse(c_res, gt[i_res]) < 0.03
+    assert abs(ate_rmse(c_res, gt[i_res]) - ate_rmse(c_full, gt[i_full])) < 0.02
+
+
 @pytest.mark.slow
 def test_pipeline_chains_option_matches_default(rng):
     """--pipeline-chains (speculative cont-chain dispatch) produces the
