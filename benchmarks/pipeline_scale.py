@@ -66,3 +66,13 @@ except Exception:
 if res.timings:
     print("stages: " + " | ".join(f"{k} {v:.1f}s"
                                   for k, v in res.timings.items()), flush=True)
+# Drift profile: per-100-frame RMSE under ONE global alignment + closure
+# commit counters — shows where along the survey the error accumulates and
+# how much closure machinery fired (VERDICT r04 item 3 instrumentation).
+from mavmap_tpu.utils.synthetic import mapper_ate_profile
+
+prof = mapper_ate_profile(m, scene, block=100)
+print("ate profile: " + " ".join(f"[{s}:+{n}]={e:.4f}" for s, n, e in prof),
+      flush=True)
+print("counters: " + " ".join(f"{k}={v}" for k, v in sorted(m.counters.items())),
+      flush=True)

@@ -25,6 +25,12 @@ def build_parser():
     p.add_argument("--input-path", required=True)
     p.add_argument("--output-path", required=True)
     p.add_argument("--cache-path", default=None)
+    p.add_argument("--reference-cache-path", default=None,
+                   help="read features from a reference-mavmap FeatureCache "
+                        "directory (<name>-keypoints.bin / -descriptors.bin "
+                        "raw dumps, feature_cache.cc:125-163) instead of "
+                        "detecting — cross-validation with real "
+                        "OpenCV-SURF features")
     p.add_argument("--voc-tree-path", default=None,
                    help="vocabulary tree: .npz (train one with "
                         "mavmap_tpu.loop.train_voc_tree) or the reference's "
@@ -237,8 +243,11 @@ def main(argv=None):
         "grid_size": (args.surf_adaptive_cell_rows,
                       args.surf_adaptive_cell_cols),
         "max_features": args.max_features,
-        "min_per_cell": args.surf_adaptive_min_per_cell,
     }
+    # Only fingerprint min_per_cell when the adaptive mode is on: the flag
+    # default (0) must not invalidate caches written before the flag existed.
+    if args.surf_adaptive_min_per_cell > 0:
+        detector_params["min_per_cell"] = args.surf_adaptive_min_per_cell
 
     adaptive_det = None
     if args.surf_adaptive_min_per_cell > 0:
@@ -287,6 +296,17 @@ def main(argv=None):
                 return None
 
     provider = CachedProvider()
+    if args.reference_cache_path:
+        from .features import ReferenceCacheProvider
+
+        ref = ReferenceCacheProvider(args.reference_cache_path,
+                                     [rec.name for rec in records],
+                                     capacity=args.max_features)
+        # No `dimensions` forward: the npz cache would DETECT on miss, and
+        # reference-cache runs may have no images at all — the mapper's
+        # principal-point fallback covers relative disparity thresholds.
+        ref.image = provider.image  # colors/debug if images are present
+        provider = ref
 
     voc_tree = None
     if args.voc_tree_path and not args.no_loop_detection:

@@ -85,3 +85,74 @@ class FeatureCache:
         for f in os.listdir(self.cache_path):
             if f.endswith(".npz"):
                 os.remove(os.path.join(self.cache_path, f))
+
+
+# cv::KeyPoint memory layout (x, y, size, angle, response all float32;
+# octave, class_id int32) — 28 bytes, written raw by the reference
+# (feature_cache.cc:126-131).
+_CV_KEYPOINT = np.dtype([
+    ("x", "<f4"), ("y", "<f4"), ("size", "<f4"), ("angle", "<f4"),
+    ("response", "<f4"), ("octave", "<i4"), ("class_id", "<i4"),
+])
+# cv::Mat type codes the reference can emit for descriptors.
+_CV_DTYPES = {0: np.uint8, 1: np.int8, 2: np.uint16, 3: np.int16,
+              4: np.int32, 5: np.float32, 6: np.float64}
+
+
+def read_reference_features(kp_path, desc_path):
+    """Parse one image's features from the reference mavmap's binary cache
+    dumps (`<name>-keypoints.bin` / `<name>-descriptors.bin`,
+    feature_cache.cc:125-142 write / :145-163 read).
+
+    Returns (keypoints (N, 2) f32, descriptors (N, D) f32,
+    responses (N,) f32). Descriptors are L2-normalized rows as OpenCV SURF
+    emits them; integer descriptor types are converted to f32 unscaled."""
+    with open(kp_path, "rb") as f:
+        (n_bytes,) = np.frombuffer(f.read(8), "<u8")
+        raw = np.frombuffer(f.read(int(n_bytes)), _CV_KEYPOINT)
+    with open(desc_path, "rb") as f:
+        hdr = f.read(8 * 3 + 4)
+        n_bytes = int(np.frombuffer(hdr[0:8], "<u8")[0])
+        rows = int(np.frombuffer(hdr[8:16], "<u8")[0])
+        cols = int(np.frombuffer(hdr[16:24], "<u8")[0])
+        cv_type = int(np.frombuffer(hdr[24:28], "<i4")[0])
+        depth, channels = cv_type & 7, (cv_type >> 3) + 1
+        dt = _CV_DTYPES[depth]
+        desc = np.frombuffer(f.read(n_bytes), dt).reshape(rows,
+                                                          cols * channels)
+    if rows != len(raw):
+        raise ValueError(
+            f"keypoint/descriptor count mismatch: {len(raw)} vs {rows}")
+    kp = np.stack([raw["x"], raw["y"]], axis=-1).astype(np.float32)
+    return kp, desc.astype(np.float32), raw["response"].astype(np.float32)
+
+
+class ReferenceCacheProvider:
+    """FeatureProvider over a directory of the reference mavmap's feature
+    cache (cross-validation path: consume REAL mavmap-extracted SURF
+    features — the honest substitute for the unbuildable OpenCV-nonfree
+    SURF). Over-capacity images keep the strongest-response keypoints,
+    like the reference's detector budget keeps its strongest maxima."""
+
+    def __init__(self, cache_path, names, capacity=1024):
+        self.cache_path = cache_path
+        self.names = list(names)
+        self.capacity = capacity
+        self.descriptor_dim = None
+        self._cache = {}
+
+    def get(self, image_idx):
+        if image_idx in self._cache:
+            return self._cache[image_idx]
+        name = self.names[image_idx]
+        kp, desc, resp = read_reference_features(
+            os.path.join(self.cache_path, f"{name}-keypoints.bin"),
+            os.path.join(self.cache_path, f"{name}-descriptors.bin"))
+        if len(kp) > self.capacity:
+            keep = np.argsort(-resp)[: self.capacity]
+            keep.sort()  # preserve spatial ordering
+            kp, desc = kp[keep], desc[keep]
+        self.descriptor_dim = desc.shape[1]
+        feats = Features.from_arrays(kp, desc, self.capacity)
+        self._cache[image_idx] = feats
+        return feats

@@ -280,15 +280,21 @@ def detect_and_describe(
 
 def _bilinear_sampler(H, W):
     def sample(grid_img, ys, xs):
-        """Bilinear interpolation at float coords."""
+        """Bilinear interpolation at float coords.
+
+        Linear-index 1-D takes instead of 2-D advanced indexing: a 2-D
+        gather with two batched index dims lowers poorly on TPU; four
+        flat takes off one precomputed base index vectorize cleanly."""
+        flat = grid_img.reshape(-1)
         y0 = jnp.clip(jnp.floor(ys).astype(jnp.int32), 0, H - 2)
         x0 = jnp.clip(jnp.floor(xs).astype(jnp.int32), 0, W - 2)
         fy = jnp.clip(ys - y0, 0.0, 1.0)
         fx = jnp.clip(xs - x0, 0.0, 1.0)
-        v00 = grid_img[y0, x0]
-        v01 = grid_img[y0, x0 + 1]
-        v10 = grid_img[y0 + 1, x0]
-        v11 = grid_img[y0 + 1, x0 + 1]
+        base = y0 * W + x0
+        v00 = jnp.take(flat, base)
+        v01 = jnp.take(flat, base + 1)
+        v10 = jnp.take(flat, base + W)
+        v11 = jnp.take(flat, base + W + 1)
         return (
             v00 * (1 - fy) * (1 - fx)
             + v01 * (1 - fy) * fx
@@ -316,23 +322,26 @@ def _orientations(gx, gy, keypoints, sigmas, num_bins=42):
     wgt = jnp.exp(-(YO**2 + XO**2) / (2.0 * 2.5**2)) * disk  # (13,13)
 
     win = max(int(round(num_bins / 6.0)), 1)  # pi/3 window in bins
-    kern = jnp.ones((win,), jnp.float32)
+    # Circular sliding-window sum as a fixed (num_bins, num_bins) circulant
+    # matmul, and angle binning as a one-hot matmul: per-keypoint
+    # segment_sum (scatter) and convolve lower to serialized scatter-adds
+    # under vmap on TPU — the matmul forms ride the MXU instead.
+    ii = jnp.arange(num_bins)
+    circ = (((ii[None, :] - ii[:, None]) % num_bins) < win).astype(jnp.float32)
 
     def one(kp, sigma):
         ys = kp[1] + YO * sigma
         xs = kp[0] + XO * sigma
-        dx = sample(gx, ys, xs) * wgt
-        dy = sample(gy, ys, xs) * wgt
+        dx = (sample(gx, ys, xs) * wgt).reshape(-1)
+        dy = (sample(gy, ys, xs) * wgt).reshape(-1)
         theta = jnp.arctan2(dy, dx)  # [-pi, pi]
         b = jnp.floor((theta + jnp.pi) / (2.0 * jnp.pi) * num_bins)
-        b = jnp.clip(b, 0, num_bins - 1).astype(jnp.int32).reshape(-1)
-        hx = jax.ops.segment_sum(dx.reshape(-1), b, num_segments=num_bins)
-        hy = jax.ops.segment_sum(dy.reshape(-1), b, num_segments=num_bins)
-        # Circular sliding-window sums via wrap-padded 1-D convolution.
-        hx2 = jnp.concatenate([hx, hx[: win - 1]])
-        hy2 = jnp.concatenate([hy, hy[: win - 1]])
-        sx = jnp.convolve(hx2, kern, mode="valid")[:num_bins]
-        sy = jnp.convolve(hy2, kern, mode="valid")[:num_bins]
+        b = jnp.clip(b, 0, num_bins - 1)
+        onehot = (b[:, None] == ii[None, :]).astype(jnp.float32)  # (169, B)
+        hx = dx @ onehot
+        hy = dy @ onehot
+        sx = circ @ hx
+        sy = circ @ hy
         best = jnp.argmax(sx * sx + sy * sy)
         return jnp.arctan2(sy[best], sx[best])
 

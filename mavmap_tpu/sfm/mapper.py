@@ -36,6 +36,22 @@ from .kernels import (
 from .options import SequentialMapperOptions
 
 
+@jax.jit
+def _match_counts_jit(dq, mq, dstack, mstack, ratio):
+    """2-NN match counts of one query against a stacked candidate batch.
+
+    Module-level jit (ratio traced): defining this closure inside
+    _batch_match_counts re-traced + re-lowered it on EVERY loop-detection
+    period (~tens of ms each over a mapping run)."""
+    from ..ops.matching import match_brute_force
+
+    def one(d2, m2):
+        _, ok = match_brute_force(dq, d2, mq, m2, ratio=ratio)
+        return jnp.sum(ok)
+
+    return jax.vmap(one)(dstack, mstack)
+
+
 class _LRUCache(OrderedDict):
     """Bounded per-image cache: evicts least-recently-used beyond capacity.
 
@@ -114,6 +130,13 @@ class SequentialMapper:
         # Optional DebugDumper (sfm/debug.py) — when set, debug=True calls
         # write the reference's per-pair/per-step artifacts.
         self.debug_dumper = None
+        # Lightweight event counters (closure commits etc.) for the scale
+        # benchmarks' drift profiling; free-form keys, never load-bearing.
+        self.counters = {}
+
+    def _count(self, name, n=1):
+        if n:
+            self.counters[name] = self.counters.get(name, 0) + int(n)
 
     # ------------------------------------------------------------- helpers
 
@@ -901,8 +924,6 @@ class SequentialMapper:
         """Match counts of image_idx against many candidates in ONE batched
         device call (pre-gate for loop closure — a full process() per
         candidate costs ~100 ms; most candidates die at the match gate)."""
-        from ..ops.matching import match_brute_force
-
         if not len(cand_idxs):
             return np.zeros(0, np.int64)
         kpq, dq, mq, _ = self._device_features(image_idx)
@@ -926,17 +947,8 @@ class SequentialMapper:
                 jnp.float32(options.match_max_ratio)))
             return c[: len(cand_idxs)]
 
-        @jax.jit
-        def counts(dq, mq, dstack, mstack):
-            def one(d2, m2):
-                _, ok = match_brute_force(
-                    dq, d2, mq, m2, ratio=options.match_max_ratio
-                )
-                return jnp.sum(ok)
-
-            return jax.vmap(one)(dstack, mstack)
-
-        c = np.asarray(counts(dq, mq, dstack, mstack))
+        c = np.asarray(_match_counts_jit(
+            dq, mq, dstack, mstack, jnp.float32(options.match_max_ratio)))
         return c[: len(cand_idxs)]
 
     def detect_loop(self, image_idx, num_images=30, num_nh_images=15,
@@ -1000,6 +1012,7 @@ class SequentialMapper:
                     num_successes += 1
                     if distance <= nh_distance:
                         num_nh += 1
+        self._count("loop_closures", num_successes)
         return num_successes
 
     def _batch_register_candidates(self, image_idx, cand_idxs, options):
@@ -1011,11 +1024,14 @@ class SequentialMapper:
         from .kernels import register_view_batch
 
         self.flush_ba()  # registration anchors on post-BA poses/points
-        # Fixed batch of 8, chunked: every call hits the SAME compiled
+        # Fixed batch of 32, chunked: every call hits the SAME compiled
         # executable (power-of-two buckets paid a fresh ~10 s XLA compile
-        # per new size; candidate counts vary call to call). With a mesh,
-        # the batch rounds up to a mesh multiple and shards over devices.
-        CH = 8
+        # per new size; candidate counts vary call to call). 32 covers the
+        # default loop-detection candidate set (num_images=30) in ONE
+        # device round-trip — the in-sequence detect_loop used to pay 4
+        # chunked calls of 8 every detection period. With a mesh, the
+        # batch rounds up to a mesh multiple and shards over devices.
+        CH = 32
         if self.mesh is not None:
             S = self.mesh.devices.size
             CH = int(np.ceil(CH / S)) * S
@@ -1096,11 +1112,14 @@ class SequentialMapper:
         # anchors on store poses/points (process() flushes on every pull;
         # this path must uphold the same invariant).
         self.flush_ba()
-        # Fixed chunk of 8: one compiled executable for every sweep (also
+        # Fixed chunk of 32: one compiled executable for every sweep (also
         # bounds HBM — B vmapped register kernels hold B full match
-        # matrices). With a mesh, round up to a mesh multiple: each device
-        # holds only its B/S slice, so HBM per device stays bounded.
-        MAX_B = 8
+        # matrices: 32 x ~8 MB of 2-NN score intermediates at F=1024 stays
+        # far inside one v5e; 8 was chosen conservatively and made the
+        # 1000-image closure sweep pay 4x the pull round-trips). With a
+        # mesh, round up to a mesh multiple: each device holds only its
+        # B/S slice, so HBM per device stays bounded.
+        MAX_B = 32
         if self.mesh is not None:
             S = self.mesh.devices.size
             MAX_B = int(np.ceil(MAX_B / S)) * S
@@ -1282,6 +1301,7 @@ class SequentialMapper:
                 n += 1
                 if verbose:
                     print(f"Closed loop #{q} -> #{c}")
+        self._count("sweep_closures", n)
         return n
 
     # ---------------------------------------------------------------- merge

@@ -220,23 +220,37 @@ def _final_closure_sweeps(mapper, opts: PipelineOptions, rot_priors=None):
         if opts.verbose:
             print(f"Closure sweep added {added} closures; re-running "
                   f"global BA")
-        _global_ba(mapper, opts, rot_priors)
+        # Re-BA with intrinsics HELD at the pre-sweep solution: the global
+        # BA that preceded this sweep already converged self-calibration on
+        # >99% of these observations, and closure commits only add
+        # correspondences / merge tracks — re-running the two-stage selfcal
+        # (subsample solve + full solve) would re-derive intrinsics deltas
+        # in the noise at full post-pass BA cost.
+        _global_ba(mapper, opts, rot_priors, refine_cams=False)
         total += added
     return total
 
 
 def _global_ba(mapper, opts: PipelineOptions, rot_priors=None,
-               update_errors=False, gcp_point_ids=()):
-    return mapper.adjust_global_bundle(
-        BAOptions(max_num_iterations=opts.ba_global_max_iters,
+               update_errors=False, gcp_point_ids=(), max_iters=None,
+               refine_cams=None):
+    info = mapper.adjust_global_bundle(
+        BAOptions(max_num_iterations=(max_iters if max_iters is not None
+                                      else opts.ba_global_max_iters),
                   min_track_len=opts.min_track_len,
                   loss_scale_factor=opts.loss_scale_factor,
-                  refine_camera_params=opts.refine_camera_params,
+                  refine_camera_params=(opts.refine_camera_params
+                                        if refine_cams is None
+                                        else refine_cams),
                   update_point3D_errors=update_errors),
         rot_priors=rot_priors if opts.constrain_rotation else None,
         rot_prior_weight=opts.constrain_rotation_weight,
         gcp_point_ids=gcp_point_ids,
     )
+    mapper._count("global_ba_runs")
+    if info:
+        mapper._count("global_ba_iters", int(info.get("iterations", 0)))
+    return info
 
 
 def process_remaining_images(mapper, start_idx, end_idx, opts: PipelineOptions):

@@ -248,6 +248,38 @@ def mapper_ate(mapper, scene):
     return ate_rmse(est, scene.camera_centers()[idxs])
 
 
+def mapper_ate_profile(mapper, scene, block=100):
+    """Per-block ATE profile: ONE global similarity alignment over every
+    registered frame, then the RMSE of each contiguous `block` of image
+    indices under that alignment — shows WHERE along the survey the global
+    error accumulates (uniform ≈ noise-limited; ramping ≈ drift the loop
+    closures did not remove). Returns [(start_idx, n_frames, rmse_m)]."""
+    import jax.numpy as jnp
+    from ..ops.rotation import rotmat_from_rvec
+    from ..ops.similarity import solve_umeyama, transform_points
+
+    reg_ids = [iid for iid in range(mapper.store.num_images)
+               if mapper.store.image_registered[iid]]
+    if len(reg_ids) < 3:
+        return []
+    idxs = np.array([mapper.image_id_to_idx[iid] for iid in reg_ids])
+    R = np.asarray(rotmat_from_rvec(
+        jnp.asarray(mapper.store.image_rvecs[reg_ids], jnp.float32)))
+    est = -np.einsum("nij,nj->ni", R.transpose(0, 2, 1),
+                     mapper.store.image_tvecs[reg_ids])
+    gt = scene.camera_centers()[idxs]
+    T = solve_umeyama(jnp.asarray(est, jnp.float32),
+                      jnp.asarray(gt, jnp.float32))
+    aligned = np.asarray(transform_points(T, jnp.asarray(est, jnp.float32)))
+    err2 = np.sum((aligned - gt) ** 2, axis=-1)
+    out = []
+    for s in range(0, int(idxs.max()) + 1, block):
+        sel = (idxs >= s) & (idxs < s + block)
+        if sel.sum():
+            out.append((s, int(sel.sum()), float(np.sqrt(err2[sel].mean()))))
+    return out
+
+
 def ate_rmse(est_centers, gt_centers, mask=None):
     """Absolute trajectory error after similarity alignment (Umeyama)."""
     import jax.numpy as jnp

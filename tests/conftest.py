@@ -88,10 +88,12 @@ def write_cached_cli_dataset(tmp_path, feats, n_images,
         lines.append(f"img{i}, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0{suffix}")
     (data / "imagedata.txt").write_text("\n".join(lines) + "\n")
 
+    # Mirror cli.py's detector_params exactly: min_per_cell only enters the
+    # fingerprint when the adaptive mode is ON (the flag default must not
+    # invalidate caches written before the flag existed).
     params = {"hessian_threshold": 1000.0, "num_octaves": 4,
               "num_octave_layers": 3, "upright": False,
-              "grid_size": (3, 3), "max_features": 1024,
-              "min_per_cell": 0}
+              "grid_size": (3, 3), "max_features": 1024}
     fc = FeatureCache(str(cache), params,
                       detector=lambda i: feats[i], capacity=1024)
     for i in range(n_images):

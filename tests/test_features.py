@@ -193,3 +193,54 @@ def test_cache_query_dimensions(rng, tmp_path):
                           capacity=64)
     cache2.query(0, "img0")
     assert cache2.query_dimensions(0, "img0") == (0, 0, 0.0)
+
+
+def _write_reference_dump(tmp_path, name, kp, desc, resp):
+    """Write cv::KeyPoint / cv::Mat dumps exactly as the reference's
+    FeatureCache does (feature_cache.cc:125-142): raw 28-byte KeyPoint
+    structs behind a size_t byte count; descriptor matrix behind
+    (num_bytes, rows, cols, cv_type) headers."""
+    n = len(kp)
+    raw = np.zeros(n, dtype=[("x", "<f4"), ("y", "<f4"), ("size", "<f4"),
+                             ("angle", "<f4"), ("response", "<f4"),
+                             ("octave", "<i4"), ("class_id", "<i4")])
+    raw["x"], raw["y"] = kp[:, 0], kp[:, 1]
+    raw["response"] = resp
+    raw["size"] = 9.0
+    with open(tmp_path / f"{name}-keypoints.bin", "wb") as f:
+        f.write(np.uint64(raw.nbytes).tobytes())
+        f.write(raw.tobytes())
+    d32 = desc.astype("<f4")
+    with open(tmp_path / f"{name}-descriptors.bin", "wb") as f:
+        f.write(np.uint64(d32.nbytes).tobytes())
+        f.write(np.uint64(d32.shape[0]).tobytes())
+        f.write(np.uint64(d32.shape[1]).tobytes())
+        f.write(np.int32(5).tobytes())  # CV_32F
+        f.write(d32.tobytes())
+
+
+def test_reference_cache_provider_roundtrip(rng, tmp_path):
+    """ReferenceCacheProvider parses the reference's binary cache format
+    (feature_cache.cc:125-163) and applies the capacity budget by response."""
+    from mavmap_tpu.features import ReferenceCacheProvider
+
+    kp = rng.uniform(0, 500, size=(40, 2)).astype(np.float32)
+    desc = rng.normal(size=(40, 64)).astype(np.float32)
+    desc /= np.linalg.norm(desc, axis=1, keepdims=True)
+    resp = rng.uniform(0.1, 5.0, size=40).astype(np.float32)
+    _write_reference_dump(tmp_path, "img7", kp, desc, resp)
+
+    prov = ReferenceCacheProvider(str(tmp_path), ["img7"], capacity=64)
+    f = prov.get(0)
+    assert f.num == 40
+    assert np.allclose(f.keypoints[:40], kp, atol=1e-6)
+    assert np.allclose(f.descriptors[:40], desc, atol=1e-6)
+    assert prov.descriptor_dim == 64
+
+    # Over-capacity: the strongest-response keypoints survive.
+    prov16 = ReferenceCacheProvider(str(tmp_path), ["img7"], capacity=16)
+    f16 = prov16.get(0)
+    assert f16.num == 16
+    want = set(map(tuple, kp[np.argsort(-resp)[:16]]))
+    got = set(map(tuple, f16.keypoints[:16]))
+    assert got == want
