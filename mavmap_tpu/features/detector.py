@@ -35,45 +35,67 @@ import jax
 import jax.numpy as jnp
 
 
-def _gaussian_kernel1d(sigma, radius):
-    x = jnp.arange(-radius, radius + 1, dtype=jnp.float32)
-    k = jnp.exp(-0.5 * (x / sigma) ** 2)
-    return k / jnp.sum(k)
+def _gaussian_kernel1d_np(sigma, radius):
+    x = np.arange(-radius, radius + 1, dtype=np.float64)
+    k = np.exp(-0.5 * (x / sigma) ** 2)
+    return (k / k.sum()).astype(np.float64)
 
 
-def _sep_conv2d(img, kx, ky):
-    """Separable 2-D convolution with edge-REPLICATE padding. img: (H, W).
+def _band_matrix(kern, n):
+    """(n, n) banded matrix B with out = img @ B == 1-D correlation of each
+    row of img with `kern` under edge-REPLICATE padding (boundary taps fold
+    onto the edge columns). Built in numpy at TRACE time (kernels are
+    static), embedded as a jit constant.
 
-    Zero padding would fabricate step edges at the image border (a
-    constant image must yield zero derivatives everywhere): the resulting
-    phantom responses at coarse octaves reach ~4*sigma*2^o full-res px
-    inside — far past the fixed 8-px border suppression — and showed up
-    as junk border keypoints in flat frames."""
-    rx = (len(kx) - 1) // 2
-    ry = (len(ky) - 1) // 2
-    img4 = jnp.pad(img, ((ry, ry), (rx, rx)), mode="edge")[None, None]
-    out = jax.lax.conv_general_dilated(
-        img4, kx[None, None, None, :], (1, 1), [(0, 0), (0, 0)],
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-    )
-    out = jax.lax.conv_general_dilated(
-        out, ky[None, None, :, None], (1, 1), [(0, 0), (0, 0)],
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-    )
-    return out[0, 0]
+    Why a matmul and not lax.conv: XLA lowers single-channel NCHW convs to
+    VPU sliding windows (~1.5 GFLOP/s measured — the 72 pyramid convs were
+    186 ms/frame, the ENTIRE detector budget); a dense (n, n) banded
+    matmul runs on the MXU instead, and the zero band padding is free
+    FLOPs the MXU was idling on anyway."""
+    r = (len(kern) - 1) // 2
+    B = np.zeros((n, n), np.float64)
+    cols = np.arange(n)
+    for k, kv in enumerate(kern):
+        rows = np.clip(cols + k - r, 0, n - 1)
+        np.add.at(B, (rows, cols), kv)
+    return B
 
 
 def _hessian_response(img, sigma):
-    """Determinant-of-Hessian response at scale sigma (scale-normalized)."""
+    """Determinant-of-Hessian response at scale sigma (scale-normalized).
+
+    All six separable passes ride TWO matmuls: the three y-direction
+    kernels (g, g1, g2) stack into one (3H, H) left operand and the three
+    x-direction kernels into one (W, 3W) right operand; Lxx/Lyy/Lxy are
+    slices of the (3H, 3W) product's blocks. Edge-replicate padding is
+    folded into the band matrices (zero padding would fabricate step
+    edges at the border: a constant image must yield zero derivatives —
+    phantom responses at coarse octaves reached ~4*sigma*2^o full-res px
+    inside, far past the 8-px border suppression)."""
+    H, W = img.shape
     radius = max(int(3.0 * sigma + 0.5), 1)
-    g = _gaussian_kernel1d(sigma, radius)
-    x = jnp.arange(-radius, radius + 1, dtype=jnp.float32)
-    # Gaussian derivative kernels.
+    g = _gaussian_kernel1d_np(sigma, radius)
+    x = np.arange(-radius, radius + 1, dtype=np.float64)
     g1 = -(x / (sigma**2)) * g
     g2 = ((x**2 - sigma**2) / (sigma**4)) * g
-    Lxx = _sep_conv2d(img, g2, g)
-    Lyy = _sep_conv2d(img, g, g2)
-    Lxy = _sep_conv2d(img, g1, g1)
+    # DC correction: the continuous operator has integral 0, but sampling +
+    # tail truncation leave sum(g2) ~ 1e-3 — which turns CONSTANT image
+    # regions into DoH responses ~1e-5, above the adaptive floor
+    # (hessian/1.5^10), so textureless cells would emit rank-admitted junk.
+    # Subtracting the residual times the normalized smoothing kernel keeps
+    # the kernel shape and makes flat responses exactly ~0.
+    g2 = g2 - g2.sum() * g
+
+    # Left block-stack: rows of [g; g1; g2] bands over H. Right: cols over W.
+    By = np.concatenate(
+        [_band_matrix(k, H).T for k in (g, g1, g2)], axis=0)  # (3H, H)
+    Bx = np.concatenate(
+        [_band_matrix(k, W) for k in (g, g1, g2)], axis=1)    # (W, 3W)
+    prod = jnp.asarray(By, jnp.float32) @ img @ jnp.asarray(Bx, jnp.float32)
+    blk = prod.reshape(3, H, 3, W)
+    Lxx = blk[0, :, 2]   # y: g,  x: g2
+    Lyy = blk[2, :, 0]   # y: g2, x: g
+    Lxy = blk[1, :, 1]   # y: g1, x: g1
     det = Lxx * Lyy - (0.9 * Lxy) ** 2
     return det * sigma**4  # scale normalization
 
@@ -278,29 +300,40 @@ def detect_and_describe(
     return keypoints, kp_sigma, desc, mask, cell_counts
 
 
-def _bilinear_sampler(H, W):
-    def sample(grid_img, ys, xs):
-        """Bilinear interpolation at float coords.
+def _grad_sampler(gx, gy):
+    """Bilinear sampler of BOTH gradient images at shared float coords.
 
-        Linear-index 1-D takes instead of 2-D advanced indexing: a 2-D
-        gather with two batched index dims lowers poorly on TPU; four
-        flat takes off one precomputed base index vectorize cleanly."""
-        flat = grid_img.reshape(-1)
+    The TPU's dynamic-gather kernel costs ~6.6 ns per INDEX regardless of
+    row width (measured: a 400k-element scalar take = 2.7 ms, the entire
+    post-conv detector budget x8). Packing the 4 bilinear corners of both
+    gradient images into one (H*W, 8) table turns 8 scalar takes per
+    sample batch into ONE row take — same bytes, 1/8 the indices."""
+    H, W = gx.shape
+    f1, f2 = gx.reshape(-1), gy.reshape(-1)
+    # Row i: [gx(i), gx(i+1), gy(i), gy(i+1), gx(i+W), gx(i+W+1),
+    #         gy(i+W), gy(i+W+1)] — the 2x2 corner stencil at flat index i.
+    # Base indices are clamped to y<=H-2, x<=W-2, so the rolled wrap-around
+    # rows are never addressed.
+    T = jnp.stack([f1, jnp.roll(f1, -1), f2, jnp.roll(f2, -1),
+                   jnp.roll(f1, -W), jnp.roll(f1, -(W + 1)),
+                   jnp.roll(f2, -W), jnp.roll(f2, -(W + 1))], axis=-1)
+
+    def sample(ys, xs):
+        """(gx, gy) sampled at float coords; preserves input shape."""
+        shape = ys.shape
+        ys, xs = ys.reshape(-1), xs.reshape(-1)
         y0 = jnp.clip(jnp.floor(ys).astype(jnp.int32), 0, H - 2)
         x0 = jnp.clip(jnp.floor(xs).astype(jnp.int32), 0, W - 2)
         fy = jnp.clip(ys - y0, 0.0, 1.0)
         fx = jnp.clip(xs - x0, 0.0, 1.0)
-        base = y0 * W + x0
-        v00 = jnp.take(flat, base)
-        v01 = jnp.take(flat, base + 1)
-        v10 = jnp.take(flat, base + W)
-        v11 = jnp.take(flat, base + W + 1)
-        return (
-            v00 * (1 - fy) * (1 - fx)
-            + v01 * (1 - fy) * fx
-            + v10 * fy * (1 - fx)
-            + v11 * fy * fx
-        )
+        v = jnp.take(T, y0 * W + x0, axis=0)  # (N, 8)
+        w00 = (1 - fy) * (1 - fx)
+        w01 = (1 - fy) * fx
+        w10 = fy * (1 - fx)
+        w11 = fy * fx
+        gxs = v[:, 0] * w00 + v[:, 1] * w01 + v[:, 4] * w10 + v[:, 5] * w11
+        gys = v[:, 2] * w00 + v[:, 3] * w01 + v[:, 6] * w10 + v[:, 7] * w11
+        return gxs.reshape(shape), gys.reshape(shape)
 
     return sample
 
@@ -314,8 +347,7 @@ def _orientations(gx, gy, keypoints, sigmas, num_bins=42):
     the largest magnitude gives the orientation (Bay et al.; OpenCV SURF
     upright=false — the reference's default configuration).
     """
-    H, W = gx.shape
-    sample = _bilinear_sampler(H, W)
+    sample = _grad_sampler(gx, gy)
     r = jnp.arange(-6, 7, dtype=jnp.float32)  # 13 offsets, units of sigma
     YO, XO = jnp.meshgrid(r, r, indexing="ij")
     disk = (YO**2 + XO**2) <= 36.0 + 1e-6
@@ -332,8 +364,9 @@ def _orientations(gx, gy, keypoints, sigmas, num_bins=42):
     def one(kp, sigma):
         ys = kp[1] + YO * sigma
         xs = kp[0] + XO * sigma
-        dx = (sample(gx, ys, xs) * wgt).reshape(-1)
-        dy = (sample(gy, ys, xs) * wgt).reshape(-1)
+        sgx, sgy = sample(ys, xs)
+        dx = (sgx * wgt).reshape(-1)
+        dy = (sgy * wgt).reshape(-1)
         theta = jnp.arctan2(dy, dx)  # [-pi, pi]
         b = jnp.floor((theta + jnp.pi) / (2.0 * jnp.pi) * num_bins)
         b = jnp.clip(b, 0, num_bins - 1)
@@ -361,7 +394,7 @@ def _describe(img, keypoints, sigmas, cells=4, samples_per_cell=5,
     # Sample offsets in units of sigma: window = 20 sigma.
     offs = (jnp.arange(n, dtype=jnp.float32) - (n - 1) / 2.0)  # -9.5..9.5
 
-    sample = _bilinear_sampler(H, W)
+    sample = _grad_sampler(gx, gy)
 
     if upright:
         angles = jnp.zeros((keypoints.shape[0],), jnp.float32)
@@ -381,8 +414,7 @@ def _describe(img, keypoints, sigmas, cells=4, samples_per_cell=5,
         V = jnp.broadcast_to(offs[:, None], (n, n)) * step  # local y
         X = kp[0] + ca * U - sa * V
         Y = kp[1] + sa * U + ca * V
-        dxi = sample(gx, Y, X)
-        dyi = sample(gy, Y, X)
+        dxi, dyi = sample(Y, X)
         # Rotate gradients into the local frame.
         dx = (ca * dxi + sa * dyi) * weight
         dy = (-sa * dxi + ca * dyi) * weight
