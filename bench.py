@@ -172,10 +172,14 @@ def main():
                 ba_time += time.time() - t0
                 ba_iters += int(info["iterations"]) if info else 0
 
-        # Speculative pipelining ON for the headline (no in-loop closure
-        # detection here, so the overlap is pure win: 27.2 -> 29.3 fps).
+        # PRODUCT configuration: speculative chain pipelining is OFF, like
+        # the full pipeline's default (PipelineOptions.pipeline_chains) —
+        # the recorded headline must be a number the product config
+        # reaches. Pipelining (MAVMAP_BENCH_PIPELINE=1) measured +2 fps on
+        # this 30-frame config but crashes the remote TPU worker on
+        # 1000-image surveys, so the pipeline ships with it off.
         CHAIN = int(os.environ.get("MAVMAP_BENCH_CHAIN", "6"))
-        PIPE = os.environ.get("MAVMAP_BENCH_PIPELINE", "1") == "1"
+        PIPE = os.environ.get("MAVMAP_BENCH_PIPELINE", "0") == "1"
         i = 2
         tok = tok_chain = None
         while i < n_images or tok is not None:

@@ -43,8 +43,16 @@ def main(num_images=20):
         ate_rmse, make_uav_scene, render_images,
     )
 
-    scene = make_uav_scene(num_images=num_images, num_points=1500,
-                           relief=10.0, rows=2, seed=21)
+    # Single-strip survey: this probe measures pixels->poses THROUGHPUT,
+    # and the rendered fixture's descriptor richness cannot carry the
+    # ~10 m cross-row baseline at survey scale (measured: 32-46 matches
+    # across the row turn vs ~105 in-row — the sequence breaks into
+    # sub-maps at the turn regardless of texture resolution). extent=None
+    # sizes the terrain to the flight plan (the fixed 60 m default ended
+    # mid-survey at 100 frames), and point density scales with it.
+    scene = make_uav_scene(num_images=num_images,
+                           num_points=max(1500, 75 * num_images),
+                           relief=10.0, rows=1, extent=None, seed=21)
     tmp = Path(tempfile.mkdtemp(prefix="mavmap_det_bench_"))
     data = tmp / "data"
     cache = tmp / "cache"

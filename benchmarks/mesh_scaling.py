@@ -45,6 +45,12 @@ prov = ArrayFeatureProvider(feats, capacity=1024)
 
 
 def run(mesh_devices):
+    """One pipeline + timed global BA + timed back-fill at `mesh_devices`.
+
+    N < ba.core.DENSE_SOLVER_MAX_CAMERAS (64) exercises the DENSE Schur
+    path (materialized camera system, psum-reduced); N >= 64 the
+    matrix-free Schur-CG path — run with several N to map the
+    small-problem crossover where collective overhead eats the gain."""
     opts = PipelineOptions(verbose=False, tri_min_angle=1.0,
                            init_tri_min_angle=4.0, min_track_len=2,
                            loop_detection=False, mesh_devices=mesh_devices)

@@ -30,9 +30,19 @@ SWEEPS = int(sys.argv[3]) if len(sys.argv) > 3 else 1
 t0 = time.time()
 scene = make_uav_scene(num_images=N, num_points=120 * N, relief=10.0,
                        rows=ROWS, extent=None, seed=13)
-feats, _ = render_features(scene, pixel_noise=0.3, clutter=32, seed=13)
+# Feature tables are deterministic in (N, ROWS, seed) and cost ~200 s to
+# render at N=1000 — cache them so benchmark iterations measure the
+# pipeline, not the fixture.
 cap = 1024
-feats = [(k[:cap], d[:cap]) for k, d in feats]
+_fc = f"/tmp/pipeline_scale_feats_{N}_{ROWS}_13.npz"
+if os.path.exists(_fc):
+    with np.load(_fc) as d:
+        feats = [(d[f"k{i}"], d[f"d{i}"]) for i in range(N)]
+else:
+    feats, _ = render_features(scene, pixel_noise=0.3, clutter=32, seed=13)
+    feats = [(k[:cap], d[:cap]) for k, d in feats]
+    np.savez(_fc, **{f"k{i}": k for i, (k, _) in enumerate(feats)},
+             **{f"d{i}": d for i, (_, d) in enumerate(feats)})
 prov = ArrayFeatureProvider(feats, capacity=cap)
 desc = np.concatenate([d for _, d in feats[::10]])
 rng = np.random.default_rng(0)
@@ -42,8 +52,21 @@ print(f"scene+features in {time.time()-t0:.0f}s", flush=True)
 opts = PipelineOptions(verbose=False, tri_min_angle=1.0, init_tri_min_angle=4.0,
                        min_track_len=2, loop_detection_period=20,
                        final_closure_sweeps=SWEEPS,
+                       final_closure_step=int(os.environ.get(
+                           "MAVMAP_SCALE_STEP", "4")),
+                       ba_function_tolerance=float(os.environ.get(
+                           "MAVMAP_SCALE_TOL", "1e-4")),
+                       # Diagnostics: selfcal off (hold ground-truth
+                       # intrinsics) isolates how much of the long-survey
+                       # dome is selfcal bias.
+                       refine_camera_params=os.environ.get(
+                           "MAVMAP_SCALE_REFINE", "1") == "1",
+                       local_ba_refine_camera_params=os.environ.get(
+                           "MAVMAP_SCALE_REFINE", "1") == "1",
+                       chain_len=int(os.environ.get("MAVMAP_SCALE_CHAIN",
+                                                    "4")),
                        pipeline_chains=os.environ.get(
-                           "MAVMAP_PIPELINE_CHAINS", "1") == "1")
+                           "MAVMAP_PIPELINE_CHAINS", "0") == "1")
 t0 = time.time()
 res = run_pipeline(scene.image_cameras, scene.cam_models, scene.cam_params,
                    prov, opts, voc_tree=tree)
@@ -76,3 +99,10 @@ print("ate profile: " + " ".join(f"[{s}:+{n}]={e:.4f}" for s, n, e in prof),
       flush=True)
 print("counters: " + " ".join(f"{k}={v}" for k, v in sorted(m.counters.items())),
       flush=True)
+# Self-calibration check: a residual focal error bends a nadir survey into
+# the classic photogrammetric dome (high ATE at both survey ends).
+est_k = m.store.camera_params[0][:4]
+true_k = scene.cam_params[0][:4]
+print("selfcal: est fx,fy,cx,cy = "
+      + " ".join(f"{v:.2f}" for v in est_k)
+      + " | true = " + " ".join(f"{v:.2f}" for v in true_k), flush=True)

@@ -112,6 +112,9 @@ def build_parser():
                    help="accepted for reference compatibility (declared but "
                         "unused by the reference as well)")
     p.add_argument("--local-ba-window-size", type=int, default=8)
+    p.add_argument("--ba-function-tolerance", type=float, default=1e-4,
+                   help="global-BA LM stop: relative cost decrease below "
+                        "this ends the solve (Ceres function_tolerance)")
     p.add_argument("--local-ba-refine-camera-params",
                    action=argparse.BooleanOptionalAction, default=True,
                    help="refine shared intrinsics in the local BA "
@@ -148,7 +151,7 @@ def build_parser():
                    help="post-global-BA rounds of non-neighborhood closure "
                         "sweeping + re-BA (0 disables; beyond reference — "
                         "attacks long-survey drift)")
-    p.add_argument("--final-closure-step", type=int, default=4,
+    p.add_argument("--final-closure-step", type=int, default=2,
                    help="query every Nth registered image in a closure sweep")
     p.add_argument("--save-map", default="",
                    help="write a map checkpoint (npz: poses, points, "
@@ -296,6 +299,24 @@ def main(argv=None):
                 return None
 
     provider = CachedProvider()
+    if adaptive_det is None and not args.reference_cache_path:
+        # Pipelined feature extraction: decode/npz-write on worker threads
+        # while the device detects other frames — the mapper's lazy
+        # extract-on-miss serializes PNG decode (~20 ms), the detect
+        # dispatch round-trip, AND the cache write per frame (measured
+        # ~150 ms/frame of pixels->poses wall time at 100 images).
+        # Skipped under the ADAPTIVE detector: its cross-frame per-cell
+        # thresholds are stateful and order-dependent.
+        lo = max(args.start_image_idx, 0)
+        hi = (args.end_image_idx if args.end_image_idx >= 0
+              else len(records) - 1)
+        todo = [i for i in range(lo, min(hi + 1, len(records)))
+                if os.path.exists(image_path(i))]
+        if todo:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(3) as ex:
+                list(ex.map(lambda i: cache.query(i, records[i].name), todo))
     if args.reference_cache_path:
         from .features import ReferenceCacheProvider
 
@@ -337,6 +358,7 @@ def main(argv=None):
         failure_max_image_dist=args.failure_max_image_dist,
         local_ba_window_size=args.local_ba_window_size,
         local_ba_refine_camera_params=args.local_ba_refine_camera_params,
+        ba_function_tolerance=args.ba_function_tolerance,
         loop_detection=voc_tree is not None,
         loop_detection_period=args.loop_detection_period,
         loop_detection_num_images=args.loop_detection_num_images,

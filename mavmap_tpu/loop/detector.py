@@ -245,11 +245,7 @@ class LoopDetector:
             idf = np.ones(self.num_words, np.float32)
 
         if self.score_mode == "dense":
-            qbow = self._bow_of(words)
-            scores = np.asarray(
-                _score(jnp.asarray(qbow), jnp.asarray(self._bow[:n]),
-                       jnp.asarray(idf))
-            )
+            scores = _score(self._bow_of(words), self._bow[:n], idf)
         else:
             scores = self._score_sparse(words, idf, n)
         k = min(num_images, n)
@@ -301,22 +297,18 @@ class LoopDetector:
         return 2.0 - 2.0 * dot / np.maximum(np.sqrt(norm2), 1e-12)
 
 
-@jax.jit
 def _score(qbow, db, idf):
     """Squared L2 distance between L2-normalized idf-weighted tf vectors.
 
-    One (I, W) x (W,) matvec per query, in f32: the sparse posting-list
-    path above is f32, and near-tie rankings must not flip between the two
-    paths at the dense/sparse switchover (bf16 rounding was enough to do
-    that). A single f32 matvec per query is nowhere near the hot path.
+    HOST numpy, f32: the dense mode only engages at small word counts
+    (num_words <= DENSE_SCORE_MAX_WORDS), where the (I, W) x (W,) matvec
+    is microseconds — but as a jitted device call it cost one remote-TPU
+    round-trip PER QUERY (~50 ms x 250 sweep queries measured on
+    1000-image surveys). Stays f32 like the sparse posting-list path, so
+    near-tie rankings don't flip at the dense/sparse switchover.
     """
-    q = qbow * idf
-    q = q / jnp.maximum(jnp.linalg.norm(q), 1e-12)
+    q = (qbow * idf).astype(np.float32)
+    q = q / max(np.linalg.norm(q), 1e-12)
     d = db * idf[None, :]
-    d = d / jnp.maximum(jnp.linalg.norm(d, axis=1, keepdims=True), 1e-12)
-    cos = jax.lax.dot_general(
-        d, q,
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    return 2.0 - 2.0 * cos
+    d = d / np.maximum(np.linalg.norm(d, axis=1, keepdims=True), 1e-12)
+    return (2.0 - 2.0 * (d @ q)).astype(np.float32)

@@ -160,12 +160,20 @@ def _dist_lm_loop(prob: BAProblem, scale, lambda_init, max_iters, axis,
                   backend="xla"):
     I = prob.poses.shape[0]
 
-    def lm_step(poses, points, lam):
+    def lm_step(poses, points, lam, rel_prev):
         if solver == "cg":
             # Matrix-free Schur CG: no pair list, one (I,6)+(I,6,6) psum
             # per matvec — the path that scales past ~1k cameras.
+            # Inexact-Newton forcing like the single-device _lm_loop:
+            # loose CG while LM progress is large (rel_prev is psum-
+            # consistent, so every shard picks the same tolerance).
+            cg_tol_eff = jnp.where(
+                jnp.float32(cg_tol) < 1e-4,  # strict request: honor it
+                jnp.float32(cg_tol),
+                jnp.clip(jnp.sqrt(rel_prev) * 0.3, jnp.float32(cg_tol),
+                         jnp.float32(3e-2)))
             return _lm_step_cg(prob, poses, points, lam, scale,
-                               cg_max_iters, cg_tol, psum_axis=axis,
+                               cg_max_iters, cg_tol_eff, psum_axis=axis,
                                backend=backend)
         S, g_red, G, Vinv, bp = _local_normal_terms(
             prob, poses, points, lam, scale, axis, backend=backend
@@ -179,12 +187,12 @@ def _dist_lm_loop(prob: BAProblem, scale, lambda_init, max_iters, axis,
         return dc, dp
 
     def cond(state):
-        _, _, _, it, done, _ = state
+        _, _, _, it, done, _, _ = state
         return (it < max_iters) & (~done)
 
     def body(state):
-        poses, points_d, lam, it, done, cost = state
-        dc, dp = lm_step(poses, points_d, lam)
+        poses, points_d, lam, it, done, cost, rel_prev = state
+        dc, dp = lm_step(poses, points_d, lam, rel_prev)
         new_poses = poses + dc
         new_points = points_d + dp
         new_cost = _dist_cost(prob, new_poses, new_points, scale, axis)
@@ -195,14 +203,15 @@ def _dist_lm_loop(prob: BAProblem, scale, lambda_init, max_iters, axis,
         rel = (cost - new_cost) / jnp.maximum(cost, 1e-20)
         done = accept & (rel < 1e-4)
         cost = jnp.where(accept, new_cost, cost)
-        return (poses, points_d, lam, it + 1, done, cost)
+        rel_prev = jnp.where(accept, jnp.maximum(rel, 1e-20), rel_prev)
+        return (poses, points_d, lam, it + 1, done, cost, rel_prev)
 
     points_d0 = _gather_dense_points(prob, prob.points)
     init_cost = _dist_cost(prob, prob.poses, points_d0, scale, axis)
     state = (prob.poses, points_d0, jnp.float32(lambda_init), 0, False,
-             init_cost)
-    poses, points_d, lam, it, done, cost = jax.lax.while_loop(cond, body,
-                                                              state)
+             init_cost, jnp.float32(1.0))
+    poses, points_d, lam, it, done, cost, _ = jax.lax.while_loop(cond, body,
+                                                                 state)
     points = _scatter_dense_points(prob, prob.points, points_d)
     return poses, points, cost, init_cost, it
 

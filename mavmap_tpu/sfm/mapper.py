@@ -17,6 +17,7 @@ with threshold / mean(fx, fy), exactly like the reference
 (camera_models.cc:47-52).
 """
 
+import time as _time
 from collections import OrderedDict
 
 import numpy as np
@@ -103,7 +104,12 @@ class SequentialMapper:
             else None
         self.image_cameras = np.asarray(image_cameras, np.int32)
         self.cam_models = np.asarray(cam_models, np.int32)
-        self.cam_params = np.asarray(cam_params, np.float32)
+        # Own copy: self-calibration adopts refined intrinsics in place, and
+        # np.asarray aliases a caller array of matching dtype — without the
+        # copy, a pipeline run silently mutates the CALLER's cam_params
+        # (observed: a benchmark's ground-truth intrinsics overwritten by
+        # the selfcal result).
+        self.cam_params = np.array(cam_params, np.float32)
         self.provider = feature_provider
         self.loop_detector = loop_detector
 
@@ -137,6 +143,10 @@ class SequentialMapper:
     def _count(self, name, n=1):
         if n:
             self.counters[name] = self.counters.get(name, 0) + int(n)
+
+    def _count_time(self, name, seconds):
+        self.counters[name] = round(self.counters.get(name, 0.0)
+                                    + float(seconds), 2)
 
     # ------------------------------------------------------------- helpers
 
@@ -965,10 +975,14 @@ class SequentialMapper:
         if self.loop_detector is None:
             return 0
         options = options or SequentialMapperOptions()
+        _t0 = _time.perf_counter()
         idxs, scores = self.find_similar_images(image_idx, num_images)
+        self._count_time("detect_query_s", _time.perf_counter() - _t0)
         # Pre-gate: one batched matcher call over all candidates.
+        _t0 = _time.perf_counter()
         cand = [int(i) for i in idxs]
         match_counts = self._batch_match_counts(image_idx, cand, options)
+        self._count_time("detect_pregate_s", _time.perf_counter() - _t0)
         # Absolute min-inlier thresholds bound matches from below; relative
         # ones cannot be applied before matching, so only require a minimal
         # P3P sample then.
@@ -996,8 +1010,12 @@ class SequentialMapper:
         num_successes = 0
         num_nh = 0
         if runnable:
+            _t0 = _time.perf_counter()
             results = self._batch_register_candidates(image_idx, runnable,
                                                       options)
+            self._count_time("detect_register_s",
+                             _time.perf_counter() - _t0)
+            self._count("detect_runnable", len(runnable))
             for other, (r, prev_p2d, has_tri, tri_nt) in zip(runnable, results):
                 distance = abs(other - image_idx)
                 if not (num_nh < num_nh_images or distance > nh_distance):
@@ -1024,25 +1042,27 @@ class SequentialMapper:
         from .kernels import register_view_batch
 
         self.flush_ba()  # registration anchors on post-BA poses/points
-        # Fixed batch of 32, chunked: every call hits the SAME compiled
-        # executable (power-of-two buckets paid a fresh ~10 s XLA compile
-        # per new size; candidate counts vary call to call). 32 covers the
+        # Three fixed batch sizes {8, 16, 32}, smallest that fits: each
+        # slot runs a FULL register kernel (2-NN match + P3P RANSAC +
+        # refine), so padding a 5-candidate rescue call to 32 wastes 6x
+        # the device work — while dynamic power-of-two buckets per exact
+        # count paid a fresh ~10 s XLA compile per new size. 32 covers the
         # default loop-detection candidate set (num_images=30) in ONE
-        # device round-trip — the in-sequence detect_loop used to pay 4
-        # chunked calls of 8 every detection period. With a mesh, the
-        # batch rounds up to a mesh multiple and shards over devices.
-        CH = 32
+        # device round-trip. With a mesh, sizes round up to a mesh
+        # multiple and shard over devices.
+        n = len(cand_idxs)
+        CH = 8 if n <= 8 else (16 if n <= 16 else 32)
         if self.mesh is not None:
             S = self.mesh.devices.size
             CH = int(np.ceil(CH / S)) * S
-        if len(cand_idxs) > CH:
+        if n > CH:
             out = []
-            for k in range(0, len(cand_idxs), CH):
+            for k in range(0, n, CH):
                 out.extend(self._batch_register_candidates(
                     image_idx, cand_idxs[k:k + CH], options))
             return out
         B = CH
-        padded = list(cand_idxs) + [cand_idxs[0]] * (B - len(cand_idxs))
+        padded = list(cand_idxs) + [cand_idxs[0]] * (B - n)
 
         states = [self._prev_track_state(i, options) for i in padded]
         feats = [self._device_features(i) for i in padded]
@@ -1112,20 +1132,22 @@ class SequentialMapper:
         # anchors on store poses/points (process() flushes on every pull;
         # this path must uphold the same invariant).
         self.flush_ba()
-        # Fixed chunk of 32: one compiled executable for every sweep (also
-        # bounds HBM — B vmapped register kernels hold B full match
-        # matrices: 32 x ~8 MB of 2-NN score intermediates at F=1024 stays
-        # far inside one v5e; 8 was chosen conservatively and made the
-        # 1000-image closure sweep pay 4x the pull round-trips). With a
-        # mesh, round up to a mesh multiple: each device holds only its
-        # B/S slice, so HBM per device stays bounded.
-        MAX_B = 32
+        # Three fixed chunk sizes {8, 16, 32}, smallest that fits (each
+        # slot is a full register kernel — padding small back-fill calls
+        # to 32 wastes device work; dynamic exact sizes each paid a ~10 s
+        # XLA compile). 32-wide chunks bound HBM too: 32 x ~8 MB of 2-NN
+        # score intermediates at F=1024 stays far inside one v5e, and the
+        # 1000-image closure sweep pays 4x fewer pull round-trips than the
+        # old fixed 8. With a mesh, sizes round up to a mesh multiple:
+        # each device holds only its B/S slice.
+        n_real = len(pairs)
+        MAX_B = 8 if n_real <= 8 else (16 if n_real <= 16 else 32)
         if self.mesh is not None:
             S = self.mesh.devices.size
             MAX_B = int(np.ceil(MAX_B / S)) * S
-        if len(pairs) > MAX_B:
+        if n_real > MAX_B:
             out = []
-            for k in range(0, len(pairs), MAX_B):
+            for k in range(0, n_real, MAX_B):
                 out.extend(self.batch_register_pairs(pairs[k:k + MAX_B],
                                                      options,
                                                      closure=closure))
@@ -1133,7 +1155,6 @@ class SequentialMapper:
         B = MAX_B
         # Host work only for the REAL pairs; pad the stacked arrays by
         # repeating row 0 (discarded at commit).
-        n_real = len(pairs)
         padded = list(pairs) + [pairs[0]] * (B - n_real)
 
         states = [self._prev_track_state(p, options) for _, p in pairs]
@@ -1276,6 +1297,7 @@ class SequentialMapper:
         t = options.ransac_min_inlier_threshold
         min_needed = max(4, int(t)) if t >= 1 else 4
 
+        _t0 = _time.perf_counter()
         cand_pairs = []
         for q in query_idxs:
             if not self.is_image_processed(q):
@@ -1288,13 +1310,20 @@ class SequentialMapper:
                 and self.is_image_processed(int(c))
                 and not self.is_pair_processed(q, int(c))
             ]
+        self._count_time("sweep_retrieval_s", _time.perf_counter() - _t0)
         if not cand_pairs:
             return 0
+        _t0 = _time.perf_counter()
         counts = self._batch_match_counts_pairs(cand_pairs, options)
         jobs = [p for p, n in zip(cand_pairs, counts) if n >= min_needed]
+        self._count_time("sweep_pregate_s", _time.perf_counter() - _t0)
         if not jobs:
             return 0
+        _t0 = _time.perf_counter()
         got = self.batch_register_pairs(jobs, options, closure=True)
+        self._count_time("sweep_register_s", _time.perf_counter() - _t0)
+        self._count("sweep_jobs", len(jobs))
+        self._count("sweep_cands", len(cand_pairs))
         n = 0
         for (q, c), ok in zip(jobs, got):
             if ok:
@@ -1700,10 +1729,13 @@ class SequentialMapper:
                 pose_states=states, point_fixed=point_fixed_s,
                 rot_prior=rp, rot_prior_weight=rw, bucket=True, host=True,
             )
+            _t0 = _time.perf_counter()
             _, _, info_s = bundle_adjust(
                 prob_s,
                 _dc_replace(ba_options, update_point3D_errors=False),
                 num_obs=len(sub))
+            self._count_time("ba_selfcal_s", _time.perf_counter() - _t0)
+            self._count("ba_selfcal_iters", int(info_s.get("iterations", 0)))
             self._adopt_cam_params(np.asarray(info_s["cam_params"]))
             ba_options = _dc_replace(ba_options, refine_camera_params=False)
 
@@ -1728,8 +1760,10 @@ class SequentialMapper:
             self._pending_ba = (getattr(self, "_pending_ba", None) or []) + [
                 (sel_ids, pids, handle)]
             return None
+        _t0 = _time.perf_counter()
         new_poses, new_points, info = bundle_adjust(prob, ba_options,
                                                     num_obs=n_obs)
+        self._count_time("ba_solve_s", _time.perf_counter() - _t0)
         self.apply_ba_result(
             sel_ids, np.asarray(new_poses), pids, np.asarray(new_points),
             point_errors=np.asarray(info["point_errors"])

@@ -62,6 +62,9 @@ class PipelineOptions:
     process_prev_prev: bool = False
     ba_local_max_iters: int = 15
     ba_global_max_iters: int = 50
+    # LM relative-cost-decrease stop for the GLOBAL solves (Ceres
+    # function_tolerance analog; local windows keep the BAOptions default).
+    ba_function_tolerance: float = 1e-4
     verbose: bool = True
     # The reference refines intrinsics in EVERY bundle adjustment by
     # default (mapper.cc:878-885) — both flags default true; the initial
@@ -85,13 +88,14 @@ class PipelineOptions:
     # rotates the model frame between chains, which would orphan a chain
     # anchored on pre-rotation device state).
     #
-    # Default OFF in the full pipeline: the headline bench (no in-loop
-    # closure detection) gains 27.2 -> 29.3 fps from it, but with the
-    # pipeline's loop-detection cadence the gain measured ~nil (the
-    # detection programs serialize behind the in-flight chain), and on
-    # 1000-image surveys the remote TPU worker crashed in the subsequent
-    # global BA after pipelined runs (reproducible; under investigation —
-    # 500 images clean). bench.py enables it explicitly.
+    # Default OFF everywhere, INCLUDING the recorded bench (bench.py
+    # measures this product configuration): a short no-closure sequence
+    # gained ~7% from it, but with the pipeline's loop-detection cadence
+    # the gain measured ~nil (the detection programs serialize behind the
+    # in-flight chain), and on 1000-image surveys the remote TPU worker
+    # reproducibly crashed in the subsequent global BA after pipelined
+    # runs (500 images clean; worker-side per-dispatch leak suspected —
+    # see the round-4 triage). Opt-in via --pipeline-chains.
     pipeline_chains: bool = False
     # Segment-parallel mapping (beyond the reference, which is strictly
     # one-frame-at-a-time): partition [start, end] into `parallel_segments`
@@ -111,7 +115,10 @@ class PipelineOptions:
     # with still-drifted poses, while this sweep matches against the
     # globally-adjusted map.
     final_closure_sweeps: int = 1
-    final_closure_step: int = 4
+    # Query every 2nd registered frame: A/B'd at 1000 images vs step 4 —
+    # 560 vs 293 committed closures and ATE 0.0286 vs 0.0310 for ~+10 s of
+    # sweep time (the batched pre-gate amortizes the extra queries).
+    final_closure_step: int = 2
     # Device mesh (beyond the reference, which is single-process): 1 =
     # single-device, 0 = all visible devices, N > 1 = first N devices.
     # With >1 device the global BA runs distributed (points/observations
@@ -224,8 +231,8 @@ def _final_closure_sweeps(mapper, opts: PipelineOptions, rot_priors=None):
         # BA that preceded this sweep already converged self-calibration on
         # >99% of these observations, and closure commits only add
         # correspondences / merge tracks — re-running the two-stage selfcal
-        # (subsample solve + full solve) would re-derive intrinsics deltas
-        # in the noise at full post-pass BA cost.
+        # was A/B'd at 1000 images (ATE 0.0266 vs 0.0263, focal unchanged
+        # at +0.09%) and only cost +57 s.
         _global_ba(mapper, opts, rot_priors, refine_cams=False)
         total += added
     return total
@@ -237,6 +244,7 @@ def _global_ba(mapper, opts: PipelineOptions, rot_priors=None,
     info = mapper.adjust_global_bundle(
         BAOptions(max_num_iterations=(max_iters if max_iters is not None
                                       else opts.ba_global_max_iters),
+                  function_tolerance=opts.ba_function_tolerance,
                   min_track_len=opts.min_track_len,
                   loss_scale_factor=opts.loss_scale_factor,
                   refine_camera_params=(opts.refine_camera_params
@@ -901,14 +909,20 @@ def run_pipeline(
                 # problem covers every frame the chain added; per-frame
                 # cadence would run `committed` nested-subset solves for
                 # the same final window at 4x the device-BA cost.
+                _tl0 = _time.perf_counter()
                 _local_ba(mapper, opts, rot_priors)
+                mapper._count_time("seq_localba_s",
+                                   _time.perf_counter() - _tl0)
                 if opts.loop_detection and \
                         count_since_loop >= opts.loop_detection_period:
+                    _tl0 = _time.perf_counter()
                     mapper.detect_loop(
                         prev_idx, num_images=opts.loop_detection_num_images,
                         num_nh_images=opts.loop_detection_num_nh_images,
                         nh_distance=opts.loop_detection_nh_dist,
                         options=seq_opts, verbose=opts.verbose)
+                    mapper._count_time("seq_detect_s",
+                                       _time.perf_counter() - _tl0)
                     count_since_loop = 0
                 _maybe_checkpoint(mapper)
 
@@ -960,9 +974,12 @@ def run_pipeline(
                 # and advanced prev_idx).
                 idx = tok_chain[0]
             else:
+                _tc0 = _time.perf_counter()
                 oks = mapper.process_chain_k(chain, prev_idx, seq_opts,
                                              debug=opts.debug,
                                              pad_to=opts.chain_len)
+                mapper._count_time("seq_chain_s",
+                                   _time.perf_counter() - _tc0)
                 committed = sum(oks)
                 if committed:
                     after_chain_commit(chain, committed)
