@@ -41,6 +41,7 @@ N = int(sys.argv[1]) if len(sys.argv) > 1 else 40
 scene = make_uav_scene(num_images=N, num_points=100 * N, relief=10.0,
                        rows=2, extent=None, seed=17)
 feats, _ = render_features(scene, pixel_noise=0.3, clutter=16, seed=17)
+feats = [(k[:1024], d[:1024]) for k, d in feats]
 prov = ArrayFeatureProvider(feats, capacity=1024)
 
 
