@@ -53,7 +53,7 @@ opts = PipelineOptions(verbose=False, tri_min_angle=1.0, init_tri_min_angle=4.0,
                        min_track_len=2, loop_detection_period=20,
                        final_closure_sweeps=SWEEPS,
                        final_closure_step=int(os.environ.get(
-                           "MAVMAP_SCALE_STEP", "4")),
+                           "MAVMAP_SCALE_STEP", "2")),
                        ba_function_tolerance=float(os.environ.get(
                            "MAVMAP_SCALE_TOL", "1e-4")),
                        # Diagnostics: selfcal off (hold ground-truth
