@@ -24,7 +24,6 @@ scoring matmul shape bucketed.
 
 import numpy as np
 
-import jax
 import jax.numpy as jnp
 
 MAX_NUM_VISUAL_WORDS = 5000  # per image, reference sequential_mapper.h:53
