@@ -590,3 +590,39 @@ def test_pipeline_chains_option_matches_default(rng):
     assert m0.num_proc_images == m1.num_proc_images == 12
     assert _ate_of(m0, scene) < 0.02
     assert _ate_of(m1, scene) < 0.02
+
+
+def test_cli_reference_cache_end_to_end(rng, tmp_path):
+    """The CLI maps a dataset whose features come from the reference
+    mavmap's binary FeatureCache dumps (--reference-cache-path,
+    feature_cache.cc:125-163) — no images, no npz cache, no detector."""
+    from mavmap_tpu.cli import main as cli_main
+    from tests.test_features import _write_reference_dump
+
+    scene = make_uav_scene(num_images=6, num_points=1500, relief=10.0,
+                           rows=1, seed=6)
+    feats, _ = render_features(scene, pixel_noise=0.3, clutter=10, seed=6)
+
+    data = tmp_path / "data"
+    out = tmp_path / "out"
+    refcache = tmp_path / "refcache"
+    data.mkdir(), refcache.mkdir()
+    lines = ["# imagedata"]
+    for i in range(6):
+        cam_def = ", 1, PINHOLE, 700.0, 700.0, 400.0, 300.0" if i == 0 else ""
+        lines.append(f"img{i}, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0{cam_def}")
+    (data / "imagedata.txt").write_text("\n".join(lines) + "\n")
+    for i, (kp, de) in enumerate(feats):
+        _write_reference_dump(refcache, f"img{i}", kp, de,
+                              np.linspace(1.0, 2.0, len(kp)))
+
+    rc = cli_main([
+        "--input-path", str(data), "--output-path", str(out),
+        "--reference-cache-path", str(refcache),
+        "--max-features", "1024", "--min-track-len", "2",
+        "--tri-min-angle", "1.0", "--init-tri-min-angle", "4.0", "--quiet",
+    ])
+    assert rc == 0
+    rows = [l for l in (out / "imagedataout.txt").read_text().splitlines()
+            if not l.startswith("#")]
+    assert len(rows) == 6  # all frames registered from reference features
