@@ -65,6 +65,8 @@ opts = PipelineOptions(verbose=False, tri_min_angle=1.0, init_tri_min_angle=4.0,
                            "MAVMAP_SCALE_REFINE", "1") == "1",
                        chain_len=int(os.environ.get("MAVMAP_SCALE_CHAIN",
                                                     "4")),
+                       ba_local_max_iters=int(os.environ.get(
+                           "MAVMAP_SCALE_LBA_ITERS", "15")),
                        pipeline_chains=os.environ.get(
                            "MAVMAP_PIPELINE_CHAINS", "0") == "1")
 t0 = time.time()
